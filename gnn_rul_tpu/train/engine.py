@@ -1,0 +1,262 @@
+"""TPU-native training engine.
+
+Replaces the reference's per-batch Python hot loop (trainer.py:107-113) with
+a fully jitted, scan-based epoch: the dataset lives device-resident, each
+epoch is ONE dispatch that `lax.scan`s the train step over shuffled batch
+indices, and evaluation is a single padded+masked forward. The remainder
+batch (drop_last=False, reference dataloader.py:79) runs as a second jitted
+step with its own static shape, so BatchNorm sees the same partial batch the
+reference does.
+
+Optimizer matches torch.optim.Adam(lr, weight_decay) exactly: weight decay is
+COUPLED into the gradient before the Adam moments (not AdamW) —
+``optax.chain(add_decayed_weights(wd), scale_by_adam(), scale(-lr))``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+
+from .algorithms import AlgorithmSpec, resolve_aux_weight
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar, counts optimizer steps (for schedules)
+
+
+def multistep_lr_schedule(base_lr: float, milestones=(5, 10, 20, 25),
+                          gamma: float = 0.5):
+    """torch MultiStepLR stepped per batch: scheduler.step() runs after each
+    optimizer step, so the lr used at optimizer-step t (0-based) is
+    ``base_lr * gamma^|{m in milestones : m <= t}|``."""
+    ms = jnp.asarray(milestones)
+
+    def schedule(count):
+        n = jnp.sum(count >= ms)
+        return base_lr * (gamma ** n)
+
+    return schedule
+
+
+def make_optimizer(lr: float, weight_decay: float,
+                   schedule: Optional[Callable] = None) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) semantics (coupled decay)."""
+    lr_fn = schedule if schedule is not None else lr
+    parts = []
+    if weight_decay:
+        parts.append(optax.add_decayed_weights(weight_decay))
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(optax.scale_by_learning_rate(lr_fn))
+    return optax.chain(*parts)
+
+
+def mse(pred: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((pred - y) ** 2)
+
+
+class Engine:
+    """Single-method, single-run training engine.
+
+    ``model.__call__(x, train)`` returns ``(B, 1)`` predictions or
+    ``(pred, aux)`` for models with an auxiliary loss. ``train_params``
+    carries the reference hyperparameter values verbatim.
+    """
+
+    def __init__(self, model, spec: AlgorithmSpec, train_params: Dict,
+                 seed: int = 0, eval_batch_size: Optional[int] = None):
+        self.model = model
+        self.spec = spec
+        self.train_params = dict(train_params)
+        self.batch_size = int(train_params["batch_size"])
+        self.eval_batch_size = int(eval_batch_size or self.batch_size)
+        self.num_epochs = int(train_params["num_epochs"])
+        self.aux_weight = resolve_aux_weight(spec, train_params)
+        self.seed = seed
+
+        lr = float(train_params["learning_rate"])
+        wd = float(train_params.get("weight_decay", 0.0))
+        schedule = (multistep_lr_schedule(lr)
+                    if spec.per_batch_multistep else None)
+        self.tx = make_optimizer(lr, wd, schedule)
+
+        self._epoch_cache: Dict[Tuple, Tuple] = {}
+        self._eval_cache: Dict[Tuple, Callable] = {}
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, sample_x: np.ndarray) -> TrainState:
+        rng = jax.random.PRNGKey(self.seed)
+        init_rng, self._dropout_base = jax.random.split(rng)
+        x0 = jnp.asarray(sample_x[:2])
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, x0, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        opt_state = self.tx.init(params)
+        return TrainState(params, batch_stats, opt_state,
+                          jnp.asarray(0, jnp.int32))
+
+    # ------------------------------------------------------------ train step
+
+    def _loss_from_output(self, out, y):
+        if isinstance(out, tuple):
+            pred, aux = out
+        else:
+            pred, aux = out, None
+        loss = mse(pred, y)
+        if aux is not None and self.aux_weight != 0.0:
+            loss = loss + self.aux_weight * aux
+        return loss
+
+    def _make_train_step(self):
+        model, tx = self.model, self.tx
+
+        def train_step(params, batch_stats, opt_state, step, x, y, rng):
+            def loss_fn(p):
+                out, updates = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x, train=True,
+                    mutable=["batch_stats"], rngs={"dropout": rng})
+                loss = self._loss_from_output(out, y)
+                return loss, updates.get("batch_stats", batch_stats)
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_bs, new_opt, step + 1, loss
+
+        return train_step
+
+    def _get_epoch_fns(self, n: int):
+        """(jitted scan over full batches, jitted remainder step) for n rows."""
+        bs = self.batch_size
+        n_full, rem = divmod(n, bs)
+        key = (n_full, rem)
+        if key in self._epoch_cache:
+            return self._epoch_cache[key], n_full, rem
+
+        train_step = self._make_train_step()
+
+        @jax.jit
+        def run_epoch(params, batch_stats, opt_state, step, perm, epoch_rng,
+                      x_all, y_all):
+            def body(carry, i):
+                params, batch_stats, opt_state, step = carry
+                idx = jax.lax.dynamic_slice_in_dim(perm, i * bs, bs)
+                x = jnp.take(x_all, idx, axis=0)
+                y = jnp.take(y_all, idx, axis=0)
+                rng = jax.random.fold_in(epoch_rng, i)
+                params, batch_stats, opt_state, step, loss = train_step(
+                    params, batch_stats, opt_state, step, x, y, rng)
+                return (params, batch_stats, opt_state, step), loss
+
+            carry, losses = jax.lax.scan(
+                body, (params, batch_stats, opt_state, step),
+                jnp.arange(n_full))
+            return carry, losses
+
+        rem_fn = None
+        if rem:
+            @jax.jit
+            def rem_fn(params, batch_stats, opt_state, step, perm, epoch_rng,
+                       x_all, y_all):
+                idx = jax.lax.dynamic_slice_in_dim(perm, n_full * bs, rem)
+                x = jnp.take(x_all, idx, axis=0)
+                y = jnp.take(y_all, idx, axis=0)
+                rng = jax.random.fold_in(epoch_rng, n_full)
+                return train_step(params, batch_stats, opt_state, step, x, y,
+                                  rng)
+
+        self._epoch_cache[key] = (run_epoch, rem_fn)
+        return (run_epoch, rem_fn), n_full, rem
+
+    # ------------------------------------------------------------------- fit
+
+    def run_epoch(self, state: TrainState, x_train, y_train, epoch: int,
+                  shuffle: bool) -> Tuple[TrainState, float]:
+        """One full training epoch; returns (state, sample-weighted avg loss).
+
+        ``epoch`` is 1-based as in the reference trainer (trainer.py:104).
+        """
+        n = x_train.shape[0]
+        (epoch_fn, rem_fn), n_full, rem = self._get_epoch_fns(n)
+
+        x_all = jnp.asarray(x_train)
+        y_all = jnp.asarray(y_train)
+
+        if shuffle:
+            perm_rng = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed + 7919), epoch)
+            perm = jax.random.permutation(perm_rng, n)
+        else:
+            perm = jnp.arange(n)
+        epoch_rng = jax.random.fold_in(self._dropout_base, epoch)
+
+        (params, batch_stats, opt_state, step), losses = epoch_fn(
+            state.params, state.batch_stats, state.opt_state, state.step,
+            perm, epoch_rng, x_all, y_all)
+        total = float(jnp.sum(losses)) * self.batch_size
+        count = n_full * self.batch_size
+        if rem_fn is not None:
+            params, batch_stats, opt_state, step, rloss = rem_fn(
+                params, batch_stats, opt_state, step, perm, epoch_rng,
+                x_all, y_all)
+            total += float(rloss) * rem
+            count += rem
+        state = TrainState(params, batch_stats, opt_state, step)
+        return state, total / max(count, 1)
+
+    # ------------------------------------------------------------------ eval
+
+    def _get_eval_fn(self, n_batches: int, ebs: int):
+        key = (n_batches, ebs)
+        if key in self._eval_cache:
+            return self._eval_cache[key]
+        model = self.model
+
+        @jax.jit
+        def eval_all(params, batch_stats, x_pad):
+            def body(_, i):
+                x = jax.lax.dynamic_slice_in_dim(x_pad, i * ebs, ebs)
+                out = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False)
+                pred = out[0] if isinstance(out, tuple) else out
+                return None, pred.reshape(-1)
+
+            _, preds = jax.lax.scan(body, None, jnp.arange(n_batches))
+            return preds.reshape(-1)
+
+        self._eval_cache[key] = eval_all
+        return eval_all
+
+    def evaluate(self, state: TrainState, x_test: np.ndarray) -> np.ndarray:
+        """Predictions for the full test set (single fused dispatch).
+
+        The set is padded to a batch multiple; padding rows are discarded.
+        Eval uses running BN stats and no dropout, so padding is exact.
+        """
+        n = x_test.shape[0]
+        ebs = min(self.eval_batch_size, n)
+        n_batches = -(-n // ebs)
+        pad = n_batches * ebs - n
+        if pad:
+            x_pad = np.concatenate(
+                [x_test, np.repeat(x_test[-1:], pad, axis=0)], axis=0)
+        else:
+            x_pad = x_test
+        eval_fn = self._get_eval_fn(n_batches, ebs)
+        preds = eval_fn(state.params, state.batch_stats, jnp.asarray(x_pad))
+        return np.asarray(preds[:n])

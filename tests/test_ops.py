@@ -1,0 +1,139 @@
+"""Unit tests for ops-layer primitives vs numpy/torch oracles."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gnn_rul_tpu.ops import graphs, message_passing, windows, encoding
+
+
+def test_pearson_graph_matches_numpy_corrcoef():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(3, 5, 17)).astype(np.float32)
+    got = np.asarray(graphs.pearson_graph(jnp.asarray(x)))
+    for b in range(3):
+        want = np.corrcoef(x[b])
+        np.testing.assert_allclose(got[b], want, atol=1e-5)
+
+
+def test_cosine_graph_matches_numpy():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 6, 9)).astype(np.float32)
+    got = np.asarray(graphs.cosine_graph(jnp.asarray(x)))
+    norms = np.linalg.norm(x, axis=-1)
+    want = np.einsum("bnd,bmd->bnm", x, x) / (
+        norms[:, :, None] * norms[:, None, :])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_dot_graph_rows_sum_to_two():
+    # softmax rows sum to 1, then +I adds 1 on the diagonal.
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 7, 5)).astype(np.float32))
+    a = graphs.dot_graph(x)
+    np.testing.assert_allclose(np.asarray(a.sum(-1)), 2.0, atol=1e-5)
+
+
+def test_dot_graph_matches_torch_reference_math():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(2, 6, 4)).astype(np.float32)
+
+    xt = torch.tensor(x)
+    adj = torch.bmm(xt, xt.transpose(1, 2))
+    eye = torch.eye(6).repeat(2, 1, 1)
+    adj = torch.nn.functional.leaky_relu(adj - eye * 1e8)
+    adj = torch.softmax(adj, dim=-1) + eye
+
+    got = np.asarray(graphs.dot_graph(jnp.asarray(x)))
+    np.testing.assert_allclose(got, adj.numpy(), atol=1e-5)
+
+
+def test_gaussian_graph_matches_torch_cdist():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 5, 8)).astype(np.float32)
+    xt = torch.tensor(x)
+    want = torch.exp(-torch.cdist(xt, xt, p=2)).numpy()
+    got = np.asarray(graphs.gaussian_graph(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_topk_mask_keeps_k_largest():
+    scores = jnp.asarray([[[5.0, 1.0, 3.0, 2.0],
+                           [0.1, 0.4, 0.3, 0.2]]])
+    mask = np.asarray(graphs.topk_mask(scores, 2))
+    np.testing.assert_array_equal(mask[0, 0], [1, 0, 1, 0])
+    np.testing.assert_array_equal(mask[0, 1], [0, 1, 1, 0])
+
+
+def test_sym_normalize():
+    a = jnp.asarray([[[2.0, 1.0], [1.0, 2.0]]])
+    got = np.asarray(graphs.sym_normalize(a))
+    d = np.array([3.0, 3.0])
+    want = a[0] / np.sqrt(d[:, None] * d[None, :])
+    np.testing.assert_allclose(got[0], want, atol=1e-5)
+
+
+def test_khop_aggregate_powers():
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(2, 4, 4)).astype(np.float32)
+    x = rng.normal(size=(2, 4, 3)).astype(np.float32)
+    outs = message_passing.khop_aggregate(jnp.asarray(a), jnp.asarray(x), 3)
+    np.testing.assert_allclose(np.asarray(outs[0]), a @ x, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(outs[1]), (a @ a) @ x, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(outs[2]), ((a @ a) @ a) @ x,
+                               atol=1e-2)
+
+
+def test_chebyshev_terms():
+    rng = np.random.default_rng(6)
+    a = rng.normal(size=(1, 4, 4)).astype(np.float32)
+    x = rng.normal(size=(1, 4, 3)).astype(np.float32)
+    terms = message_passing.chebyshev_terms(jnp.asarray(a), jnp.asarray(x), 3)
+    t0, t1 = x, a @ x
+    t2 = 2 * (a @ t1) - t0
+    np.testing.assert_allclose(np.asarray(terms[0]), t0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(terms[1]), t1, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(terms[2]), t2, atol=1e-3)
+
+
+def test_decay_mask_matches_reference_loop():
+    """Reproduce the double loop of Mask_Matrix (Model_Base.py:150-170)."""
+    n, t, decay = 3, 4, 0.7
+    want = np.ones((n * t, n * t))
+    for i in range(t):
+        for j in range(t):
+            want[i * n:(i + 1) * n, j * n:(j + 1) * n] *= decay ** abs(i - j)
+    got = np.asarray(windows.decay_mask(n, t, decay))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_sliding_time_windows():
+    x = jnp.arange(2 * 5 * 3 * 2, dtype=jnp.float32).reshape(2, 5, 3, 2)
+    w = windows.sliding_time_windows(x, window=2, stride=2)
+    assert w.shape == (2, 2, 2, 3, 2)
+    np.testing.assert_array_equal(np.asarray(w[:, 0]), np.asarray(x[:, 0:2]))
+    np.testing.assert_array_equal(np.asarray(w[:, 1]), np.asarray(x[:, 2:4]))
+
+
+def test_patchify_roundtrip():
+    x = jnp.arange(2 * 3 * 12, dtype=jnp.float32).reshape(2, 3, 12)
+    p = windows.patchify(x, num_patch=4, patch_size=3)
+    assert p.shape == (2, 4, 3, 3)
+    np.testing.assert_array_equal(np.asarray(p[0, 0, 1]),
+                                  np.asarray(x[0, 1, 0:3]))
+
+
+def test_sinusoidal_encoding_matches_torch_reference():
+    """Reference PositionalEncoding table (Model_Base.py:119-125, base 100)."""
+    import math
+    d_model, max_len = 16, 20
+    position = np.arange(max_len)[:, None]
+    div_term = np.exp(np.arange(0, d_model, 2) * -(math.log(100.0) / d_model))
+    want = np.zeros((max_len, d_model))
+    want[:, 0::2] = np.sin(position * div_term)
+    want[:, 1::2] = np.cos(position * div_term)
+    got = np.asarray(encoding.sinusoidal_encoding(max_len, d_model, base=100.0))
+    np.testing.assert_allclose(got, want, atol=1e-6)
