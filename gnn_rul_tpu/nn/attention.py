@@ -1,0 +1,61 @@
+"""Dense graph-attention layers.
+
+The reference GAT layers materialize all N^2 pairwise concatenations
+(e.g. models/STAGNN/Model.py:53-60: ``e = att(cat([Wh_i, Wh_j]))``). Since
+the attention projection is linear, we split its kernel ``a = [a1; a2]`` and
+compute ``e_ij = leaky_relu(Wh a1 + (Wh a2)^T + b)`` as two rank-1 broadcasts
+— identical math, no (B, N^2, 2d) intermediate.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .basic import Linear, Dropout
+from .init import torch_linear_kernel, fan_in_bias
+
+
+class GraphAttentionLayer(nn.Module):
+    """Reference GraphAttentionLayer (models/STAGNN/Model.py:26-60):
+    ``h' = (dropout(softmax(e, axis=-1)) * adj) @ Wh``.
+
+    The torch layer stores the attention projection as Linear(2d -> 1); we
+    keep the same parameter layout (kernel (2d, 1) + bias (1,)) for
+    weight-import parity.
+    """
+    out_features: int
+    dropout: float = 0.0
+    negative_slope: float = 0.1
+
+    @nn.compact
+    def __call__(self, h, adj, train: bool = False):
+        d = self.out_features
+        wh = Linear(d, name="linear")(h)
+        kernel = self.param("att_kernel", torch_linear_kernel, (2 * d, 1))
+        bias = self.param("att_bias", fan_in_bias(2 * d), (1,))
+        a1 = kernel[:d, 0]
+        a2 = kernel[d:, 0]
+        e = (wh @ a1)[..., :, None] + (wh @ a2)[..., None, :] + bias[0]
+        e = jax.nn.leaky_relu(e, self.negative_slope)
+        attn = jax.nn.softmax(e, axis=-1)
+        attn = Dropout(self.dropout, name="attn_drop")(attn, train=train)
+        attn = attn * adj
+        return jnp.einsum("...nm,...md->...nd", attn, wh)
+
+
+class GAT(nn.Module):
+    """Multi-head mean-aggregated GAT (models/STAGNN/Model.py:62-73)."""
+    out_features: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, adj, train: bool = False):
+        heads = [
+            GraphAttentionLayer(self.out_features, self.dropout,
+                                name=f"attention_{i}")(x, adj, train=train)
+            for i in range(self.num_heads)
+        ]
+        return jnp.mean(jnp.stack(heads, axis=0), axis=0)

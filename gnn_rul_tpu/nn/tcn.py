@@ -23,7 +23,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .init import torch_conv_kernel, fan_in_bias
-from .basic import BatchNormNCL
+from .basic import BatchNormNCL, Conv1d
 
 
 class CausalConv1d(nn.Module):
@@ -55,19 +55,27 @@ class CausalConv1d(nn.Module):
 class TemporalConvNet(nn.Module):
     """2-block causal TCN matching the reference forward path.
 
-    Input/output: (B, C, L) with C == ``channels`` (residuals are identity
-    in all reference instantiations since in_channels == out_channels).
+    Input (B, C_in, L) -> output (B, channels, L). When C_in != channels the
+    first residual goes through a 1x1 downsample conv (with bias), matching
+    the reference ``downsample0`` (models/ASTGCNN/Model.py:92,138); the
+    second block's residual is always identity in every reference
+    instantiation (``in_channels1 == out_channels1``).
     """
     channels: int
     kernel_size: int
 
     @nn.compact
     def __call__(self, x, train: bool):
+        in_channels = x.shape[-2]
         h = CausalConv1d(self.channels, self.kernel_size, dilation=1,
                          use_bias=False, name="conv1")(x)
         h = BatchNormNCL(name="bn1")(h, train=train)
         h = nn.relu(h)
-        out0 = nn.relu(h + x)
+        if in_channels != self.channels:
+            res = Conv1d(self.channels, 1, name="downsample0")(x)
+        else:
+            res = x
+        out0 = nn.relu(h + res)
 
         h = CausalConv1d(self.channels, self.kernel_size, dilation=2,
                          use_bias=False, name="conv2")(out0)

@@ -101,7 +101,11 @@ def gaussian_graph(x: jnp.ndarray) -> jnp.ndarray:
     small graphs (N <= ~300).
     """
     diff = x[..., :, None, :] - x[..., None, :, :]
-    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+    s = jnp.sum(diff * diff, axis=-1)
+    # Safe sqrt: sqrt has an infinite derivative at 0 (the diagonal);
+    # double-where gives the torch.cdist subgradient (0) there.
+    safe = jnp.where(s > 0, s, 1.0)
+    d = jnp.where(s > 0, jnp.sqrt(safe), 0.0)
     return jnp.exp(-d)
 
 

@@ -1,0 +1,62 @@
+"""Forward-shape and gradient smoke tests for the aeroengine model zoo."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from gnn_rul_tpu.configs import hparams
+from gnn_rul_tpu.train.algorithms import get_algorithm_spec
+
+AERO_IMPLEMENTED = [
+    "FC_STGNN", "LOGO", "ASTGCNN", "ST_Conv", "STAGNN", "STGNN",
+]
+
+
+def _make(method, dataset="CMAPSS", sub_id="FD001"):
+    spec = get_algorithm_spec(method)
+    hp = hparams.model_hparams(dataset, sub_id, method)
+    return spec.model_cls(**hp), spec
+
+
+@pytest.mark.parametrize("method", AERO_IMPLEMENTED)
+def test_forward_shape(method):
+    model, _ = _make(method)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(3, 14, 50)),
+                    dtype=jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    out = model.apply(variables, x, train=False)
+    pred = out[0] if isinstance(out, tuple) else out
+    assert pred.shape == (3, 1)
+    assert np.all(np.isfinite(np.asarray(pred)))
+
+
+@pytest.mark.parametrize("method", AERO_IMPLEMENTED)
+def test_train_mode_and_grads(method):
+    model, spec = _make(method)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(4, 14, 50)), dtype=jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(4, 1)), dtype=jnp.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=True)
+    params = variables["params"]
+    others = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out, _ = model.apply(
+            {"params": p, **others}, x, train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
+        if isinstance(out, tuple):
+            pred, aux = out
+            return jnp.mean((pred - y) ** 2) + 0.001 * aux
+        return jnp.mean((out - y) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # at least one nonzero gradient
+    assert any(float(jnp.max(jnp.abs(g))) > 0 for g in leaves)
