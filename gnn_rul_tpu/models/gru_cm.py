@@ -1,0 +1,64 @@
+"""GRU_CM: per-timestep full-graph edge-MLP message passing + GRU.
+
+Reference GRU_CM_model (models/GRU_CM/Model.py:43-82). The edge MLP over all
+N^2 pairs (``relu(Linear(cat[x_i, x_j]))``, reference :22-29) is computed
+without materializing the 2f concat: the Linear splits into source/target
+halves broadcast into (B, L, N, N, out).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.basic import Linear, Dropout
+from ..nn.init import torch_linear_kernel, fan_in_bias
+from ..nn.recurrent import GRULayer
+
+
+class GNNLayer(nn.Module):
+    """Edge MLP + sum aggregation + node MLP (models/GRU_CM/Model.py:6-40)."""
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, L, N, f)
+        f = x.shape[-1]
+        n = x.shape[-2]
+        kernel = self.param("edge_kernel", torch_linear_kernel,
+                            (2 * f, self.output_dim))
+        bias = self.param("edge_bias", fan_in_bias(2 * f),
+                          (self.output_dim,))
+        # cat([x_i, x_j]) @ W = x_i @ W1 + x_j @ W2
+        p1 = jnp.einsum("blnf,fo->blno", x, kernel[:f])
+        p2 = jnp.einsum("blnf,fo->blno", x, kernel[f:])
+        edge = nn.relu(p1[..., :, None, :] + p2[..., None, :, :] + bias)
+        edge_sum = jnp.sum(edge, axis=3)  # sum over j
+        node = jnp.concatenate([x, edge_sum], axis=-1)
+        return nn.relu(Linear(self.output_dim, name="node_mlp")(node))
+
+
+class GRUCM(nn.Module):
+    """Input (B, N, L) -> (B, 1)."""
+    num_nodes: int
+    time_length: int
+    gru_hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, l = x.shape
+        hidden_dim = int(self.num_nodes / 2)
+
+        h = jnp.swapaxes(x, 1, 2)[..., None]  # (B, L, N, 1)
+        h = Linear(hidden_dim, name="input_linear")(h)
+        h = Dropout(0.2, name="dropout1")(h, train=train)
+
+        h = GNNLayer(hidden_dim, name="gnn")(h)
+        h = Dropout(0.2, name="dropout2")(h, train=train)
+
+        h = jnp.max(h, axis=2)  # (B, L, hidden)
+        h, _ = GRULayer(self.gru_hidden_dim, name="gru")(h)
+        h = Dropout(0.2, name="dropout3")(h, train=train)
+
+        return Linear(1, name="output_linear")(h.reshape(b, -1))

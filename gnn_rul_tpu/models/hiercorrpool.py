@@ -1,0 +1,95 @@
+"""HierCorrPool: CNN time-preprocessing + correlation graph + cluster pooling.
+
+Reference HierCorrPool_model (models/HierCorrPool/Model.py:6-52,
+Model_Base.py). Patches are flattened into (B, patch*N) channel rows, run
+through a 3-block strided CNN, regrouped as (B, N, eck*embedding) node
+features (the reshape crosses the time/channel axes exactly as the
+reference's ``reshape([bs, eck, N, -1])`` does), then: unparameterized dot
+graph -> soft cluster-assignment pooling -> MPNN -> MLP head.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..nn.basic import Linear
+from ..nn.encoders import FeatureExtractor1DCNN
+from ..nn.gnn_blocks import MPNNmk
+from ..ops.graphs import dot_graph
+
+
+class ClusterAssignment(nn.Module):
+    """Soft cluster-assignment matrix (models/HierCorrPool/Model_Base.py:102-117):
+    ``S = softmax(W [A ; sigmoid(Lin(A X))], axis=-2)``."""
+    hidden_dim: int
+    out_nodes: int
+
+    @nn.compact
+    def __call__(self, x, adj):
+        ax = jnp.einsum("...nm,...md->...nd", adj, x)
+        h = jax.nn.sigmoid(Linear(self.hidden_dim,
+                                  name="dimension_mapping")(ax))
+        cat = jnp.concatenate([adj, h], axis=-1)
+        s = Linear(self.out_nodes, name="matrix")(cat)
+        return jax.nn.softmax(s, axis=-2)
+
+
+class GraphClassificationBlock(nn.Module):
+    """Pool then message-pass (models/HierCorrPool/Model_Base.py:122-145):
+    ``X' = S^T X``, ``A' = S^T A S``, then 1-hop MPNN."""
+    out_dim: int
+    out_nodes: int
+
+    @nn.compact
+    def __call__(self, adj, x):
+        s = ClusterAssignment(self.out_nodes, self.out_nodes,
+                              name="Graph_Clustering")(x, adj)
+        st = jnp.swapaxes(s, -1, -2)
+        x_pool = jnp.einsum("...kn,...nd->...kd", st, x)
+        a_pool = jnp.einsum("...kn,...nm,...mj->...kj", st, adj, s)
+        out = MPNNmk(self.out_dim, k=1, name="Message_Passing")(x_pool, a_pool)
+        return a_pool, out
+
+
+class HierCorrPool(nn.Module):
+    """Input (B, N, L) -> (B, 1)."""
+    patch_size: int
+    num_patch: int
+    input_dim: int
+    hidden_dim: int
+    embedding_dim: int
+    num_nodes: int
+    encoder_conv_kernel: int
+    num_nodes_out: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, _ = x.shape
+        t, p = self.num_patch, self.patch_size
+        eck = self.encoder_conv_kernel
+
+        xp = x.reshape(b, n, t, p)
+        xp = jnp.transpose(xp, (0, 2, 1, 3))  # (B, T, N, P)
+        flat = xp.reshape(b, t, n * p)
+        td_in = jnp.swapaxes(flat, 1, 2)  # (B, P*N, T)
+        td_out = FeatureExtractor1DCNN(
+            self.hidden_dim * n, kernel_size=8, stride=1, dropout=0.35,
+            name="Time_Preprocessing")(td_in, train=train)
+        td_out = jnp.swapaxes(td_out, 1, 2)  # (B, T', 4*hid*N)
+
+        # Reference regrouping (Model.py:38-42): flatten (T', C) then regroup
+        # as (eck, N, embedding); feature dim = T'*C/(eck*N).
+        gc = td_out.reshape(b, eck, n, -1)
+        gc = jnp.swapaxes(gc, 1, 2).reshape(b, n, -1)
+
+        adj = dot_graph(gc)
+        _, out = GraphClassificationBlock(
+            self.embedding_dim * eck * 3, self.num_nodes_out,
+            name="gc1")(adj, gc)
+
+        h = jax.nn.leaky_relu(
+            Linear(self.embedding_dim * 3, name="fc_0")(out.reshape(b, -1)),
+            0.01)
+        return jax.nn.leaky_relu(Linear(1, name="fc_1")(h), 0.01)

@@ -10,6 +10,7 @@ from gnn_rul_tpu.train.algorithms import get_algorithm_spec
 
 AERO_IMPLEMENTED = [
     "FC_STGNN", "LOGO", "ASTGCNN", "ST_Conv", "STAGNN", "STGNN",
+    "HierCorrPool", "RGCNU", "GRU_CM", "HAGCN", "STFA", "DVGTformer",
 ]
 
 
@@ -51,7 +52,9 @@ def test_train_mode_and_grads(method):
             mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(2)})
         if isinstance(out, tuple):
             pred, aux = out
-            return jnp.mean((pred - y) ** 2) + 0.001 * aux
+            # aux is a scalar loss for LOGO/HAGCN, the (B,1) std head for
+            # RGCNU — reduce to scalar either way for this smoke test.
+            return jnp.mean((pred - y) ** 2) + 0.001 * jnp.mean(aux)
         return jnp.mean((out - y) ** 2)
 
     loss, grads = jax.value_and_grad(loss_fn)(params)
