@@ -53,29 +53,27 @@ class GraphClassificationBlock(nn.Module):
         return a_pool, out
 
 
-class HierCorrPool(nn.Module):
-    """Input (B, N, L) -> (B, 1)."""
-    patch_size: int
-    num_patch: int
-    input_dim: int
+class HierCorrPoolCore(nn.Module):
+    """Shared trunk from 4D node features (B, T, N, D): CNN over flattened
+    (D*N) channel rows -> regroup -> dot graph -> cluster pool -> MLP head.
+    Used by HierCorrPool and HierCorrPool_bearing (byte-identical Model_Base
+    per SURVEY; only the front-end differs)."""
     hidden_dim: int
     embedding_dim: int
-    num_nodes: int
     encoder_conv_kernel: int
     num_nodes_out: int
+    encoder_kernel_size: int = 8
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        b, n, _ = x.shape
-        t, p = self.num_patch, self.patch_size
+    def __call__(self, xp, train: bool = False):
+        b, t, n, d = xp.shape
         eck = self.encoder_conv_kernel
 
-        xp = x.reshape(b, n, t, p)
-        xp = jnp.transpose(xp, (0, 2, 1, 3))  # (B, T, N, P)
-        flat = xp.reshape(b, t, n * p)
-        td_in = jnp.swapaxes(flat, 1, 2)  # (B, P*N, T)
+        flat = xp.reshape(b, t, n * d)
+        td_in = jnp.swapaxes(flat, 1, 2)  # (B, D*N, T)
         td_out = FeatureExtractor1DCNN(
-            self.hidden_dim * n, kernel_size=8, stride=1, dropout=0.35,
+            self.hidden_dim * n, kernel_size=self.encoder_kernel_size,
+            stride=1, dropout=0.35,
             name="Time_Preprocessing")(td_in, train=train)
         td_out = jnp.swapaxes(td_out, 1, 2)  # (B, T', 4*hid*N)
 
@@ -93,3 +91,25 @@ class HierCorrPool(nn.Module):
             Linear(self.embedding_dim * 3, name="fc_0")(out.reshape(b, -1)),
             0.01)
         return jax.nn.leaky_relu(Linear(1, name="fc_1")(h), 0.01)
+
+
+class HierCorrPool(nn.Module):
+    """Input (B, N, L) -> (B, 1)."""
+    patch_size: int
+    num_patch: int
+    input_dim: int
+    hidden_dim: int
+    embedding_dim: int
+    num_nodes: int
+    encoder_conv_kernel: int
+    num_nodes_out: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, n, _ = x.shape
+        t, p = self.num_patch, self.patch_size
+        xp = x.reshape(b, n, t, p)
+        xp = jnp.transpose(xp, (0, 2, 1, 3))  # (B, T, N, P)
+        return HierCorrPoolCore(
+            self.hidden_dim, self.embedding_dim, self.encoder_conv_kernel,
+            self.num_nodes_out, name="core")(xp, train=train)

@@ -84,6 +84,47 @@ def graph_regularization_loss(x, adj, gamma: float = 1.0):
     return loss0 + gamma * loss1
 
 
+class LOGOCore(nn.Module):
+    """Shared LOGO trunk operating on 4D node features (B, T, N, D) plus a
+    per-sample global adjacency (B, N, N). Used by both the aeroengine LOGO
+    and the STFT-front-end LOGO_bearing (models/LOGO_bearing/Model.py:263-348,
+    identical math after the front-end)."""
+    input_dim: int  # D
+    hidden_dim: int
+    gamma: float = 1.0
+
+    @nn.compact
+    def __call__(self, xp, global_corr, train: bool = False):
+        b, t, n, d = xp.shape
+
+        nodes = xp.reshape(b * t, n, d)
+        mapped = Linear(2 * self.input_dim, name="nonlin_map")(nodes)
+        local_corr = dot_graph_from_mapped(mapped)
+
+        g = jnp.broadcast_to(global_corr[:, None], (b, t, n, n))
+        g = g.reshape(b * t, n, n)
+        fused = GraphAttenBlock(n, name="graph_attn_blk")(local_corr, g)
+
+        mp = MPNNmk(3 * self.input_dim, k=1, name="MPNN")(mapped, fused)
+
+        # Reference layout quirk: (B, T*N, d) -> transpose(0,1) ->
+        # (T*N, B, d) fed to a batch_first LSTM (recurrence over B).
+        td = mp.reshape(b, t, n, -1).reshape(b, n * t, -1)
+        td = jnp.swapaxes(td, 0, 1)
+        td = BiLSTMStandard(3 * self.hidden_dim, name="TD")(td, train=train)
+        td = jnp.swapaxes(td, 0, 1)
+
+        feats = td.reshape(b, -1)
+        h = nn.relu(Linear(16, name="fc1")(feats))
+        h = nn.relu(Linear(8, name="fc2")(h))
+        out = Linear(1, name="cls")(h)
+
+        if train:
+            gl = graph_regularization_loss(nodes, fused, self.gamma)
+            return out, gl
+        return out
+
+
 class LOGO(nn.Module):
     """Input (B, N, L) -> (B, 1); returns (pred, gl_loss) at train."""
     patch_size: int
@@ -102,29 +143,5 @@ class LOGO(nn.Module):
         xp = x.reshape(b, n, t, p)
         xp = jnp.transpose(xp, (0, 2, 1, 3))  # (B, T, N, P)
 
-        nodes = xp.reshape(b * t, n, p)
-        mapped = Linear(2 * p, name="nonlin_map")(nodes)
-        local_corr = dot_graph_from_mapped(mapped)
-
-        g = jnp.broadcast_to(global_corr[:, None], (b, t, n, n))
-        g = g.reshape(b * t, n, n)
-        fused = GraphAttenBlock(n, name="graph_attn_blk")(local_corr, g)
-
-        mp = MPNNmk(3 * p, k=1, name="MPNN")(mapped, fused)  # (B*T, N, 3P)
-
-        # Reference layout quirk: (B, N*T, d) -> transpose(0,1) ->
-        # (N*T, B, d) fed to a batch_first LSTM (recurrence over B).
-        td = mp.reshape(b, t, n, -1).reshape(b, n * t, -1)
-        td = jnp.swapaxes(td, 0, 1)
-        td = BiLSTMStandard(3 * self.hidden_dim, name="TD")(td, train=train)
-        td = jnp.swapaxes(td, 0, 1)
-
-        feats = td.reshape(b, -1)
-        h = nn.relu(Linear(16, name="fc1")(feats))
-        h = nn.relu(Linear(8, name="fc2")(h))
-        out = Linear(1, name="cls")(h)
-
-        if train:
-            gl = graph_regularization_loss(nodes, fused, self.gamma)
-            return out, gl
-        return out
+        return LOGOCore(p, self.hidden_dim, self.gamma, name="core")(
+            xp, global_corr, train=train)

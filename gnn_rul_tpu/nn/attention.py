@@ -28,6 +28,9 @@ class GraphAttentionLayer(nn.Module):
     out_features: int
     dropout: float = 0.0
     negative_slope: float = 0.1
+    # GAT_LSTM's copy adds leaky_relu on the output (models/GAT_LSTM/
+    # Model.py:100); the STAGNN/STFA/GDAGDL copies return it raw.
+    final_leaky_relu: bool = False
 
     @nn.compact
     def __call__(self, h, adj, train: bool = False):
@@ -42,7 +45,11 @@ class GraphAttentionLayer(nn.Module):
         attn = jax.nn.softmax(e, axis=-1)
         attn = Dropout(self.dropout, name="attn_drop")(attn, train=train)
         attn = attn * adj
-        return jnp.einsum("...nm,...md->...nd", attn, wh)
+        out = jnp.einsum("...nm,...md->...nd", attn, wh)
+        if self.final_leaky_relu:
+            # F.leaky_relu default slope (0.01), NOT the attention alpha.
+            out = jax.nn.leaky_relu(out, 0.01)
+        return out
 
 
 class GAT(nn.Module):
