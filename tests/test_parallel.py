@@ -1,0 +1,86 @@
+"""Mesh/sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_rul_tpu.parallel.mesh import make_mesh, shard_params, batch_sharding
+from gnn_rul_tpu.parallel.dp import ShardedTrainer
+from gnn_rul_tpu.configs import hparams
+from gnn_rul_tpu.models.fc_stgnn import FCSTGNN
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8
+    return make_mesh(n_data=4, n_model=2)
+
+
+def test_mesh_shape(mesh):
+    assert mesh.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_train_step_matches_single_device(mesh):
+    """One sharded train step must agree with the unsharded computation."""
+    hp = hparams.model_hparams("CMAPSS", "FD001", "FC_STGNN")
+    model = FCSTGNN(**hp)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 14, 50)).astype(np.float32)
+    y = rng.uniform(size=(8, 1)).astype(np.float32)
+
+    st = ShardedTrainer(model, mesh, lr=1e-3, weight_decay=1e-4,
+                        min_shard_dim=8)
+    state = st.init(jax.random.PRNGKey(0), x[:2])
+    state2, loss_sharded = st.step(state, x, y, jax.random.PRNGKey(1))
+
+    # Unsharded reference step with identical params/batch.
+    import optax
+    from gnn_rul_tpu.train.engine import make_optimizer, mse
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        jnp.asarray(x[:2]), train=False)
+    tx = make_optimizer(1e-3, 1e-4)
+
+    params = variables["params"]
+    bs = variables.get("batch_stats", {})
+
+    def loss_fn(p):
+        out, upd = model.apply(
+            {"params": p, "batch_stats": bs}, jnp.asarray(x), train=True,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(1)})
+        return mse(out, jnp.asarray(y)), upd
+
+    (loss_ref, _), _ = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    np.testing.assert_allclose(float(loss_sharded), float(loss_ref),
+                               rtol=2e-5)
+
+
+def test_sharded_eval_finite(mesh):
+    hp = hparams.model_hparams("CMAPSS", "FD001", "FC_STGNN")
+    model = FCSTGNN(**hp)
+    st = ShardedTrainer(model, mesh, lr=1e-3, min_shard_dim=8)
+    x = np.random.default_rng(1).normal(size=(8, 14, 50)).astype(np.float32)
+    state = st.init(jax.random.PRNGKey(0), x[:2])
+    preds = st.evaluate(state, x)
+    assert preds.shape == (8,)
+    assert np.all(np.isfinite(np.asarray(preds)))
+
+
+def test_param_sharding_rule(mesh):
+    """Wide kernels land sharded over 'model'; small ones replicated."""
+    params = {"big": jnp.zeros((16, 512)), "small": jnp.zeros((16, 8))}
+    sharded = shard_params(params, mesh, min_shard_dim=256)
+    big_spec = sharded["big"].sharding.spec
+    small_spec = sharded["small"].sharding.spec
+    assert big_spec == jax.sharding.PartitionSpec(None, "model")
+    assert small_spec == jax.sharding.PartitionSpec()
+
+
+def test_dryrun_multichip_entry():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (8, 1)
