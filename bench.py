@@ -58,19 +58,30 @@ def main():
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_bs, new_opt, loss
 
-    key = jax.random.PRNGKey(2)
-    # Warmup / compile
-    params, batch_stats, opt_state, loss = train_step(
-        params, batch_stats, opt_state, x, y, key)
-    jax.block_until_ready(loss)
+    steps = 200
 
-    steps = 50
+    @jax.jit
+    def run_steps(params, batch_stats, opt_state, x, y, key):
+        def body(carry, i):
+            params, batch_stats, opt_state = carry
+            rng = jax.random.fold_in(key, i)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, x, y, rng)
+            return (params, batch_stats, opt_state), loss
+
+        carry, losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), jnp.arange(steps))
+        return losses[-1]
+
+    key = jax.random.PRNGKey(2)
+    # Warmup/compile; float() forces a real device round-trip (a plain
+    # block_until_ready does not synchronize through the axon tunnel).
+    float(run_steps(params, batch_stats, opt_state, x, y, key))
+
     t0 = time.perf_counter()
-    for i in range(steps):
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, x, y, key)
-    jax.block_until_ready(loss)
+    final_loss = float(run_steps(params, batch_stats, opt_state, x, y, key))
     dt = (time.perf_counter() - t0) / steps
+    assert final_loss == final_loss, "NaN loss"
 
     samples_per_s = batch / dt
     result = {
