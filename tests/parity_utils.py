@@ -4,7 +4,10 @@ import numpy as np
 
 
 def t2n(t):
-    return t.detach().cpu().numpy()
+    # COPY, not a view: .numpy() shares memory with the torch tensor, and
+    # jnp.asarray on CPU can be zero-copy — an in-place torch optimizer step
+    # would silently mutate the "imported" jax params.
+    return np.array(t.detach().cpu().numpy())
 
 
 def linear(sd, prefix):
