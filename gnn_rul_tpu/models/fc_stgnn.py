@@ -44,6 +44,7 @@ class GraphConvPoolMPNN(nn.Module):
     stride: int
     decay: float = 0.7
     pool: str = "mean"
+    use_fused_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -55,14 +56,21 @@ class GraphConvPoolMPNN(nn.Module):
         # Learned dot-product graph, then decay mask (graph built on raw
         # features; BN happens after, matching reference order :200-208).
         h = Linear(f, name="graph_mapping")(nodes)
-        adj = dot_graph_from_mapped(h)
-        adj = adj * decay_mask(self.num_node, self.time_window, self.decay,
-                               dtype=x.dtype)
+        mask = decay_mask(self.num_node, self.time_window, self.decay,
+                          dtype=x.dtype)
 
         nodes = BatchNorm1d(name="bn_in")(nodes, train=train)
 
+        if self.use_fused_kernel:
+            # Pallas path: graph construction + mask + aggregation fused.
+            from ..ops.pallas.fused_gnn import fused_dot_graph_spmm_trainable
+            agg = fused_dot_graph_spmm_trainable(h, nodes, mask)
+        else:
+            adj = dot_graph_from_mapped(h) * mask
+            agg = spmm(adj, nodes)
+
         # MPNN_mk_v2 with k=1: Linear(A @ X) -> BN -> leaky_relu.
-        out = Linear(self.output_dim, name="theta0")(spmm(adj, nodes))
+        out = Linear(self.output_dim, name="theta0")(agg)
         out = BatchNorm1d(name="bn_out")(out, train=train)
         out = leaky_relu(out)
 
@@ -90,6 +98,7 @@ class FCSTGNN(nn.Module):
     moving_window: Tuple[int, int] = (2, 2)
     stride: Tuple[int, int] = (1, 2)
     pe_dropout: float = 0.1
+    use_fused_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,10 +126,14 @@ class FCSTGNN(nn.Module):
 
         out1 = GraphConvPoolMPNN(
             self.hidden_dim, self.num_node, self.moving_window[0],
-            self.stride[0], self.decay, name="mpnn1")(enc, train=train)
+            self.stride[0], self.decay,
+            use_fused_kernel=self.use_fused_kernel,
+            name="mpnn1")(enc, train=train)
         out2 = GraphConvPoolMPNN(
             self.hidden_dim, self.num_node, self.moving_window[1],
-            self.stride[1], self.decay, name="mpnn2")(enc, train=train)
+            self.stride[1], self.decay,
+            use_fused_kernel=self.use_fused_kernel,
+            name="mpnn2")(enc, train=train)
 
         feats = jnp.concatenate(
             [out1.reshape(b, -1), out2.reshape(b, -1)], axis=-1)

@@ -207,3 +207,24 @@ def fused_dot_graph_spmm(h, x, mask, use_pallas: bool = None):
             return fused_dot_graph_spmm_packed(h, x, mask)
         return fused_dot_graph_spmm_pallas(h, x, mask)
     return fused_dot_graph_spmm_reference(h, x, mask)
+
+
+@jax.custom_vjp
+def fused_dot_graph_spmm_trainable(h, x, mask):
+    """Differentiable fused op: Pallas forward on TPU, jnp-recompute
+    backward (the chain is cheap to rematerialize; the win is the fused
+    forward's HBM traffic)."""
+    return fused_dot_graph_spmm(h, x, mask)
+
+
+def _fused_fwd(h, x, mask):
+    return fused_dot_graph_spmm(h, x, mask), (h, x, mask)
+
+
+def _fused_bwd(res, g):
+    h, x, mask = res
+    _, vjp = jax.vjp(fused_dot_graph_spmm_reference, h, x, mask)
+    return vjp(g)
+
+
+fused_dot_graph_spmm_trainable.defvjp(_fused_fwd, _fused_bwd)
