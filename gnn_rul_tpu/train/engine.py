@@ -75,7 +75,8 @@ class Engine:
     """
 
     def __init__(self, model, spec: AlgorithmSpec, train_params: Dict,
-                 seed: int = 0, eval_batch_size: Optional[int] = None):
+                 seed: int = 0, eval_batch_size: Optional[int] = None,
+                 mesh=None):
         self.model = model
         self.spec = spec
         self.train_params = dict(train_params)
@@ -84,6 +85,10 @@ class Engine:
         self.num_epochs = int(train_params["num_epochs"])
         self.aux_weight = resolve_aux_weight(spec, train_params)
         self.seed = seed
+        # Optional (data, model) mesh: batches get sharded over 'data'
+        # inside the jitted steps (XLA inserts the gradient psum). Only
+        # applied when the batch divides the data-axis size.
+        self.mesh = mesh
 
         lr = float(train_params["learning_rate"])
         wd = float(train_params.get("weight_decay", 0.0))
@@ -120,10 +125,20 @@ class Engine:
             loss = loss + self.aux_weight * aux
         return loss
 
+    def _shard_batch(self, x):
+        if self.mesh is None or x.shape[0] % self.mesh.shape["data"] != 0:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", *([None] * (x.ndim - 1)))
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec))
+
     def _make_train_step(self):
         model, tx = self.model, self.tx
 
         def train_step(params, batch_stats, opt_state, step, x, y, rng):
+            x = self._shard_batch(x)
+            y = self._shard_batch(y)
             def loss_fn(p):
                 out, updates = model.apply(
                     {"params": p, "batch_stats": batch_stats}, x, train=True,
@@ -230,6 +245,7 @@ class Engine:
         def eval_all(params, batch_stats, x_pad):
             def body(_, i):
                 x = jax.lax.dynamic_slice_in_dim(x_pad, i * ebs, ebs)
+                x = self._shard_batch(x)
                 out = model.apply(
                     {"params": params, "batch_stats": batch_stats}, x,
                     train=False)

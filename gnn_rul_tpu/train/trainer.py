@@ -90,13 +90,15 @@ class Trainer:
                  num_runs: int = 1,
                  train_params: Optional[Dict] = None,
                  model_hparams: Optional[Dict] = None,
-                 checkpoint_every: int = 0):
+                 checkpoint_every: int = 0,
+                 mesh=None):
         self.method = method
         self.dataset = dataset
         self.dataset_id = dataset_id
         self.data = data
         self.num_runs = num_runs
         self.checkpoint_every = checkpoint_every
+        self.mesh = mesh
 
         self.dataset_config = get_dataset_config(dataset)
         self.train_params = train_params or hparams_bank.train_params(
@@ -111,7 +113,8 @@ class Trainer:
 
     def _build_engine(self, seed: int) -> Engine:
         model = self.spec.model_cls(**self.model_hparams)
-        return Engine(model, self.spec, self.train_params, seed=seed)
+        return Engine(model, self.spec, self.train_params, seed=seed,
+                      mesh=self.mesh)
 
     def _evaluate_and_track(self, engine, state, trackers, run_dir, logger):
         if self.data.is_dict_test:

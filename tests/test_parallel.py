@@ -84,3 +84,28 @@ def test_dryrun_multichip_entry():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (8, 1)
+
+
+def test_engine_with_mesh_matches_single_device(mesh):
+    """Engine epochs under a mesh must produce the same losses as without."""
+    from gnn_rul_tpu.train.engine import Engine
+    from gnn_rul_tpu.train.algorithms import get_algorithm_spec
+
+    hp = hparams.model_hparams("CMAPSS", "FD001", "FC_STGNN")
+    spec = get_algorithm_spec("FC_STGNN")
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(32, 14, 50)).astype(np.float32)
+    y = rng.uniform(size=(32, 1)).astype(np.float32)
+    tp = {"num_epochs": 2, "batch_size": 16, "weight_decay": 1e-4,
+          "learning_rate": 1e-3}
+
+    losses = {}
+    for name, m in (("plain", None), ("mesh", mesh)):
+        engine = Engine(FCSTGNN(**hp), spec, tp, seed=0, mesh=m)
+        state = engine.init_state(x)
+        ls = []
+        for epoch in (1, 2):
+            state, loss = engine.run_epoch(state, x, y, epoch, shuffle=True)
+            ls.append(loss)
+        losses[name] = ls
+    np.testing.assert_allclose(losses["mesh"], losses["plain"], rtol=2e-5)
