@@ -33,6 +33,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "managed by JAX")
     p.add_argument("--checkpoint_every", type=int, default=0,
                    help="save a resumable checkpoint every K epochs (0=final only)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume each run from its checkpoint if present")
     return p
 
 
@@ -56,6 +58,7 @@ def main(argv=None):
         run_description=args.run_description,
         num_runs=args.num_runs,
         checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     results = trainer.train()
     return results

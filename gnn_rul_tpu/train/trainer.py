@@ -55,6 +55,10 @@ class BestTracker:
     def __init__(self, save_path: str, key: Optional[Any] = None):
         self.rows = []  # list of 4-tuples
         self.save_path = save_path
+        # Reference converts float keys (N-CMAPSS unit ids) to int in
+        # artifact names (trainer.py:214-217).
+        if isinstance(key, float):
+            key = int(key)
         self.key = key
 
     def update(self, metrics, preds, reals, max_rul) -> bool:
@@ -91,7 +95,8 @@ class Trainer:
                  train_params: Optional[Dict] = None,
                  model_hparams: Optional[Dict] = None,
                  checkpoint_every: int = 0,
-                 mesh=None):
+                 mesh=None,
+                 resume: bool = False):
         self.method = method
         self.dataset = dataset
         self.dataset_id = dataset_id
@@ -99,6 +104,7 @@ class Trainer:
         self.num_runs = num_runs
         self.checkpoint_every = checkpoint_every
         self.mesh = mesh
+        self.resume = resume
 
         self.dataset_config = get_dataset_config(dataset)
         self.train_params = train_params or hparams_bank.train_params(
@@ -159,6 +165,16 @@ class Trainer:
             engine = self._build_engine(seed=run_id)
             state = engine.init_state(self.data.train_x)
 
+            # Resume from a periodic checkpoint if present (a capability the
+            # reference lacks — its only checkpoint is final, trainer.py:125).
+            start_epoch = 1
+            ckpt_path = os.path.join(run_dir, "checkpoint.pkl")
+            if self.resume and os.path.exists(ckpt_path):
+                from .checkpoint import restore_state
+                state, extra = restore_state(ckpt_path, state)
+                start_epoch = int(extra.get("epoch", 0)) + 1
+                logger.debug(f"Resumed from epoch {start_epoch - 1}")
+
             if self.data.is_dict_test:
                 trackers = {k: BestTracker(run_dir, key=k)
                             for k in self.data.test}
@@ -167,7 +183,7 @@ class Trainer:
 
             num_epochs = int(self.train_params["num_epochs"])
             shuffle = self.dataset_config.shuffle
-            for epoch in range(1, num_epochs + 1):
+            for epoch in range(start_epoch, num_epochs + 1):
                 t0 = time.time()
                 state, loss = engine.run_epoch(
                     state, self.data.train_x, self.data.train_y, epoch,

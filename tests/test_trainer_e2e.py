@@ -89,3 +89,22 @@ def test_checkpoint_resume(tmp_path):
     assert extra["epoch"] == 1
     preds_after = engine2.evaluate(restored, data.test[0])
     np.testing.assert_allclose(preds_before, preds_after, atol=1e-6)
+
+
+def test_trainer_resume(tmp_path):
+    """Interrupt after epoch 2, resume, and finish the remaining epochs."""
+    data = _synthetic_bundle()
+    common = dict(
+        method="FC_STGNN", dataset="CMAPSS", dataset_id="FD001", data=data,
+        save_dir=str(tmp_path), num_runs=1,
+        train_params={"num_epochs": 2, "batch_size": 16,
+                      "weight_decay": 1e-4, "learning_rate": 1e-3},
+        checkpoint_every=1)
+    Trainer(**common).train()
+
+    # Second phase: more epochs, resuming from the epoch-2 checkpoint.
+    common["train_params"]["num_epochs"] = 4
+    t2 = Trainer(**common, resume=True)
+    results = t2.train()
+    best = results[0][None]
+    assert all(np.isfinite(v) for v in best)
