@@ -1,0 +1,154 @@
+"""Multi-tier training-throughput benchmark (manual; driver uses bench.py).
+
+For each benchmark tier, times the full jitted train step (forward +
+backward + Adam) at batch 100 on the default JAX device via a scanned loop
+with a forced host round-trip, and optionally the torch reference on CPU
+for the same config (``--torch-baseline``).
+
+    python bench_zoo.py [--steps 100] [--torch-baseline]
+"""
+
+import argparse
+import json
+import time
+
+TIERS = [
+    # (method, dataset, sub_id, input shape (C, L))
+    ("FC_STGNN", "CMAPSS", "FD001", (14, 50)),
+    ("HierCorrPool", "CMAPSS", "FD004", (14, 50)),
+    ("STGNN", "CMAPSS", "FD004", (14, 50)),
+    ("ST_GCN", "CMAPSS", "FD004", (14, 50)),
+    ("DVGTformer", "CMAPSS", "FD001", (14, 50)),
+    ("GAT_LSTM", "PHM2012", "Condition_1", (1, 2560)),
+    ("LOGO_bearing", "PHM2012", "Condition_1", (1, 2560)),
+    ("HierCorrPool_bearing", "PHM2012", "Condition_1", (1, 2560)),
+]
+# ST_GCN is bearing-only; its CMAPSS row above is replaced at runtime.
+TIERS = [t for t in TIERS if not (t[0] == "ST_GCN" and t[1] == "CMAPSS")]
+TIERS.insert(3, ("ST_GCN", "PHM2012", "Condition_1", (1, 2560)))
+
+
+def bench_jax(method, dataset, sub_id, shape, batch, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from gnn_rul_tpu.configs import hparams
+    from gnn_rul_tpu.train.algorithms import (get_algorithm_spec,
+                                              resolve_aux_weight)
+    from gnn_rul_tpu.train.engine import make_optimizer, mse
+
+    spec = get_algorithm_spec(method)
+    hp = hparams.model_hparams(dataset, sub_id, method)
+    tp = hparams.train_params(dataset, sub_id, method)
+    model = spec.model_cls(**hp)
+    aux_w = resolve_aux_weight(spec, tp)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch,) + shape), jnp.float32)
+    y = jnp.asarray(rng.uniform(size=(batch, 1)), jnp.float32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        x, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(tp["learning_rate"], tp.get("weight_decay", 0.0))
+    opt_state = tx.init(params)
+
+    def train_step(params, batch_stats, opt_state, rng):
+        def loss_fn(p):
+            out, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            if isinstance(out, tuple):
+                pred, aux = out
+                loss = mse(pred, y) + aux_w * jnp.mean(aux)
+            else:
+                loss = mse(out, y)
+            return loss, upd.get("batch_stats", batch_stats)
+
+        (loss, nbs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, nopt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), nbs, nopt, loss
+
+    @jax.jit
+    def run(params, batch_stats, opt_state, key):
+        def body(c, i):
+            p, b, o = c
+            p, b, o, loss = train_step(p, b, o, jax.random.fold_in(key, i))
+            return (p, b, o), loss
+
+        _, losses = jax.lax.scan(body, (params, batch_stats, opt_state),
+                                 jnp.arange(steps))
+        return losses[-1]
+
+    t0 = time.time()
+    float(run(params, batch_stats, opt_state, jax.random.PRNGKey(2)))
+    compile_s = time.time() - t0
+    t0 = time.perf_counter()
+    loss = float(run(params, batch_stats, opt_state, jax.random.PRNGKey(2)))
+    dt = (time.perf_counter() - t0) / steps
+    return dict(step_ms=dt * 1e3, samples_per_s=batch / dt,
+                compile_s=compile_s, loss=loss)
+
+
+def bench_torch(method, dataset, sub_id, shape, batch, steps=15):
+    import sys
+    import numpy as np
+    import torch
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    sys.path.insert(0, "/root/reference")
+    from algorithms import algorithms as ref_algos
+    from gnn_rul_tpu.configs import hparams
+
+    hp = hparams.model_hparams(dataset, sub_id, method)
+    tp = hparams.train_params(dataset, sub_id, method)
+    if method == "STFA":
+        hp["device"] = "cpu"
+    algo_cls = ref_algos.get_algorithm_class(method)
+    algo = algo_cls(hp, tp, "cpu")
+    rng = np.random.default_rng(0)
+    x = torch.tensor(rng.normal(size=(batch,) + shape).astype("float32"))
+    if shape[0] == 1:
+        x = x.reshape(batch, -1) if method in () else x
+    y = torch.tensor(rng.uniform(size=(batch, 1)).astype("float32"))
+    for _ in range(2):
+        algo.update(x, y, 1)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        algo.update(x, y, 1)
+    dt = (time.perf_counter() - t0) / steps
+    return dict(step_ms=dt * 1e3, samples_per_s=batch / dt)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=100)
+    ap.add_argument("--torch-baseline", action="store_true")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    for method, dataset, sub_id, shape in TIERS:
+        if args.only and method != args.only:
+            continue
+        row = {"method": method, "dataset": dataset, "sub_id": sub_id}
+        try:
+            row["jax"] = bench_jax(method, dataset, sub_id, shape,
+                                   args.batch, args.steps)
+        except Exception as e:  # keep going; report the failure
+            row["jax_error"] = repr(e)[:200]
+        if args.torch_baseline:
+            try:
+                row["torch_cpu"] = bench_torch(method, dataset, sub_id, shape,
+                                               args.batch)
+            except Exception as e:
+                row["torch_error"] = repr(e)[:200]
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
