@@ -8,7 +8,6 @@ TCN over sensors-as-channels -> gate ``tanh(Linear(x))*tcn_out`` ->
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..nn.basic import Linear

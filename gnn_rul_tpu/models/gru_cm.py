@@ -9,7 +9,6 @@ halves broadcast into (B, L, N, N, out).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..nn.basic import Linear, Dropout

@@ -8,7 +8,6 @@ trunk is shared via HierCorrPoolCore.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..signal.stft import stft_magnitude
 from .hiercorrpool import HierCorrPoolCore

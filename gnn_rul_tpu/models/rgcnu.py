@@ -14,7 +14,6 @@ pairing.
 from __future__ import annotations
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from ..nn.basic import Linear, Conv1d, Dropout

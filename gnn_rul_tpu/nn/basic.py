@@ -10,9 +10,8 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
-import jax
+
 import jax.numpy as jnp
-import numpy as np
 
 from .init import torch_linear_kernel, torch_conv_kernel, fan_in_bias
 

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 from .basic import Conv1d, BatchNormNCL, max_pool1d, Dropout
 

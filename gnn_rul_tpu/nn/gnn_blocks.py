@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import flax.linen as nn
 import jax

@@ -12,7 +12,7 @@ Input convention (torch batch_first=True): (B, T, D). Returns
 
 from __future__ import annotations
 
-from typing import Tuple
+
 
 import flax.linen as nn
 import jax

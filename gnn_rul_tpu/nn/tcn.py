@@ -17,7 +17,7 @@ but never called in forward (dead code) — not reproduced.
 
 from __future__ import annotations
 
-from typing import Sequence
+
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ TPU-native scaling path.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ dot_graph_construction + SpMM (models/HierCorrPool/Model_Base.py:11-25):
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
