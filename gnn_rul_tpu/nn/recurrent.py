@@ -27,9 +27,14 @@ def _rnn_init(hidden: int):
 
 
 class LSTMLayer(nn.Module):
-    """Single-direction single-layer LSTM."""
+    """Single-direction single-layer LSTM.
+
+    ``unroll`` unrolls the lax.scan body (TPU: reduces loop overhead for
+    small per-step matmuls at some compile-time cost).
+    """
     hidden: int
     reverse: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, h0=None, c0=None):
@@ -59,7 +64,8 @@ class LSTMLayer(nn.Module):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        (hn, cn), ys = jax.lax.scan(step, (h0, c0), xg, reverse=self.reverse)
+        (hn, cn), ys = jax.lax.scan(step, (h0, c0), xg, reverse=self.reverse,
+                                    unroll=self.unroll)
         return jnp.swapaxes(ys, 0, 1), (hn, cn)
 
 
@@ -94,6 +100,7 @@ class GRULayer(nn.Module):
     """Single-direction single-layer GRU (torch [r, z, n] gate layout)."""
     hidden: int
     reverse: bool = False
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, x, h0=None):
@@ -120,7 +127,8 @@ class GRULayer(nn.Module):
             h = (1.0 - z) * n + z * h
             return h, h
 
-        hn, ys = jax.lax.scan(step, h0, xg, reverse=self.reverse)
+        hn, ys = jax.lax.scan(step, h0, xg, reverse=self.reverse,
+                              unroll=self.unroll)
         return jnp.swapaxes(ys, 0, 1), hn
 
 

@@ -108,3 +108,26 @@ def test_trainer_resume(tmp_path):
     results = t2.train()
     best = results[0][None]
     assert all(np.isfinite(v) for v in best)
+
+
+def test_load_reference_pt_artifacts(tmp_path):
+    """The loader must read the reference's torch .pt artifact format."""
+    import torch
+    from gnn_rul_tpu.data.loader import load_dataset
+
+    rng = np.random.default_rng(0)
+    train_x = rng.normal(size=(20, 50, 14)).astype(np.float32)
+    train_y = rng.uniform(size=(20, 1)).astype(np.float32)
+    torch.save({"samples": train_x, "labels": train_y, "max_ruls": 125},
+               os.path.join(str(tmp_path), "train.pt"))
+    # dict-style test split (N-CMAPSS shape)
+    torch.save({"samples": {11.0: train_x[:5]}, "labels": {11.0: train_y[:5]},
+                "max_ruls": {11.0: 125.0}},
+               os.path.join(str(tmp_path), "test.pt"))
+
+    bundle = load_dataset(str(tmp_path))
+    # channel axis forced to axis 1 (14 < 50)
+    assert bundle.train_x.shape == (20, 14, 50)
+    assert bundle.is_dict_test
+    assert bundle.test[11.0][0].shape == (5, 14, 50)
+    assert bundle.max_ruls == 125
