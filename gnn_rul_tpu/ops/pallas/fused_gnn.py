@@ -196,15 +196,22 @@ def fused_dot_graph_spmm_packed(h, x, mask, block_batch: int = 0,
 
 
 def fused_dot_graph_spmm(h, x, mask, use_pallas: bool = None):
-    """Dispatch: packed Pallas on TPU for small graphs, per-sample Pallas
-    for large ones, jnp fallback elsewhere."""
+    """Dispatch by measured crossovers (BASELINE.md roofline, v5e):
+
+      - n <= 64:       packed Pallas (fills the 128-wide MXU tile)
+      - 64 < n < 384:  XLA batched-matmul path (wins at tile-aligned mid
+                       sizes; the adjacency still fits cache-friendly tiles)
+      - n >= 384:      per-sample Pallas (1.5-2.1x XLA — the (B, N, N)
+                       adjacency spill dominates the XLA path)
+    """
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
     if use_pallas:
         n = h.shape[-2]
-        if n <= 128:
+        if n <= 64:
             return fused_dot_graph_spmm_packed(h, x, mask)
-        return fused_dot_graph_spmm_pallas(h, x, mask)
+        if n >= 384:
+            return fused_dot_graph_spmm_pallas(h, x, mask)
     return fused_dot_graph_spmm_reference(h, x, mask)
 
 
