@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 
 from .io import save_processed
+from .. import native
 
 SENSOR_COLS = ["s2", "s3", "s4", "s7", "s8", "s9", "s11", "s12", "s13",
                "s14", "s15", "s17", "s20", "s21"]
@@ -82,19 +83,14 @@ def preprocess_cmapss(data_root: str, data_set: str, max_rul: int = 125,
     train_norm, test_norm = _per_condition_minmax(train_df, test_df,
                                                   SENSOR_COLS)
 
-    # Train: all sliding windows per engine, label at window end.
-    train_x_list, train_y_list = [], []
+    # Train: all sliding windows per engine, label at window end
+    # (native C++ window extractor; numpy fallback has identical
+    # semantics — see gnn_rul_tpu/native).
+    series, labels = [], []
     for eid, g in train_df.groupby("id"):
-        mat = train_norm.loc[g.index].values.astype(np.float32)
-        lab = train_y.loc[g.index].values.astype(np.float32)
-        n = mat.shape[0]
-        if n < seq_len:
-            continue
-        for s in range(n - seq_len + 1):
-            train_x_list.append(mat[s:s + seq_len])
-            train_y_list.append(lab[s + seq_len - 1])
-    train_x = np.stack(train_x_list)
-    train_y_arr = np.asarray(train_y_list, dtype=np.float32)[:, None]
+        series.append(train_norm.loc[g.index].values.astype(np.float32))
+        labels.append(train_y.loc[g.index].values.astype(np.float32))
+    train_x, train_y_arr = native.window_series(series, labels, seq_len)
 
     # Test: last window per engine, head-padded if short; label = last RUL.
     test_x_list, test_y_list = [], []

@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 
 from .io import save_processed
+from .. import native
 
 RUL_DICT = {
     "Bearing1_1": 0, "Bearing1_2": 0,
@@ -46,12 +47,24 @@ TRAIN_TEST_SPLIT = {
 
 
 def _read_bearing(bearing_path: str) -> np.ndarray:
-    rows = []
-    for name in sorted(os.listdir(bearing_path)):
-        if "acc" in name:
-            df = pd.read_csv(os.path.join(bearing_path, name), header=None)
+    paths = [os.path.join(bearing_path, name)
+             for name in sorted(os.listdir(bearing_path)) if "acc" in name]
+    # Native fast path: every acc file is (2560, 6); column 4 is the
+    # horizontal acceleration (Data_read_PHM2012.py:61). Parsed in
+    # parallel by the C++ runtime; falls back to pandas per-file on any
+    # irregular file.
+    try:
+        first = pd.read_csv(paths[0], header=None, sep=None,
+                            engine="python")
+        stacked = native.read_tables_stacked(
+            paths, first.shape[0], first.shape[1], dtype=np.float64)
+        return stacked[:, :, 4]
+    except (ValueError, IndexError):
+        rows = []
+        for p in paths:
+            df = pd.read_csv(p, header=None, sep=None, engine="python")
             rows.append(df.loc[:, 4].values)
-    return np.stack(rows)
+        return np.stack(rows)
 
 
 def preprocess_phm2012(data_root: str, condition_no: int,

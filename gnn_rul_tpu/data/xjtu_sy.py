@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 
 from .io import save_processed
+from .. import native
 
 RUL_CONDITION_BEARING = [[123, 161, 158, 122, 52],
                          [491, 161, 533, 42, 339],
@@ -25,11 +26,24 @@ CONDITION_FOLDERS = ["35Hz12kN", "37.5Hz11kN", "40Hz10kN"]
 
 
 def _read_bearing(folder: str, minutes: int, downsampling: int) -> np.ndarray:
-    rows = []
-    for i in range(1, minutes + 1):
-        df = pd.read_csv(os.path.join(folder, f"{i}.csv"))
-        rows.append(df["Horizontal_vibration_signals"].values[::downsampling])
-    return np.stack(rows)
+    paths = [os.path.join(folder, f"{i}.csv") for i in range(1, minutes + 1)]
+    # Native fast path: each minute file is (32768, 2) with a one-line
+    # header; column 0 is Horizontal_vibration_signals
+    # (Data_read_XJTU_SY.py:66). Parallel C++ parse, pandas fallback.
+    try:
+        first = pd.read_csv(paths[0])
+        col = list(first.columns).index("Horizontal_vibration_signals")
+        stacked = native.read_tables_stacked(
+            paths, first.shape[0], first.shape[1], skip_rows=1,
+            dtype=np.float64)
+        return stacked[:, ::downsampling, col]
+    except (ValueError, KeyError):
+        rows = []
+        for p in paths:
+            df = pd.read_csv(p)
+            rows.append(
+                df["Horizontal_vibration_signals"].values[::downsampling])
+        return np.stack(rows)
 
 
 def preprocess_xjtu_sy(data_root: str, condition_no: int,
