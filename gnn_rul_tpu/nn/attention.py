@@ -31,6 +31,11 @@ class GraphAttentionLayer(nn.Module):
     # GAT_LSTM's copy adds leaky_relu on the output (models/GAT_LSTM/
     # Model.py:100); the STAGNN/STFA/GDAGDL copies return it raw.
     final_leaky_relu: bool = False
+    # Opt-in fused Pallas path (ops/pallas/fused_gat.py): keeps the
+    # (N, N) attention panel in VMEM. Only taken when attention dropout
+    # is inactive (eval, or dropout=0) — dropout needs the materialized
+    # panel anyway.
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, h, adj, train: bool = False):
@@ -40,7 +45,16 @@ class GraphAttentionLayer(nn.Module):
         bias = self.param("att_bias", fan_in_bias(2 * d), (1,))
         a1 = kernel[:d, 0]
         a2 = kernel[d:, 0]
-        e = (wh @ a1)[..., :, None] + (wh @ a2)[..., None, :] + bias[0]
+        f1 = wh @ a1
+        f2 = wh @ a2
+        if self.use_fused and (not train or self.dropout == 0.0):
+            from ..ops.pallas.fused_gat import fused_gat_trainable
+            out = fused_gat_trainable(wh, f1, f2, adj, bias[0],
+                                      self.negative_slope)
+            if self.final_leaky_relu:
+                return jax.nn.leaky_relu(out, 0.01)
+            return out
+        e = f1[..., :, None] + f2[..., None, :] + bias[0]
         e = jax.nn.leaky_relu(e, self.negative_slope)
         attn = jax.nn.softmax(e, axis=-1)
         attn = Dropout(self.dropout, name="attn_drop")(attn, train=train)

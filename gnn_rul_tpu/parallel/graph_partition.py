@@ -64,3 +64,86 @@ def node_sharded_dot_graph_spmm(x, v, mesh, axis: str = "model"):
     x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
     v = jax.device_put(v, NamedSharding(mesh, P(None, axis, None)))
     return sharded(x, v)
+
+
+def ring_dot_graph_spmm(x, v, mesh, axis: str = "model"):
+    """Ring-pipelined variant of :func:`node_sharded_dot_graph_spmm` with
+    online (flash-attention-style) softmax.
+
+    Same math — ``A = softmax(leaky_relu(x x^T - 1e8 I)) + I; out = A v``
+    (models/HierCorrPool/Model_Base.py:11-25) — but instead of one big
+    all-gather, each device holds exactly ONE remote node block at a time
+    and rotates it around the ring with ``lax.ppermute`` while computing
+    on the block it already has. Peak per-device memory is O(N/k * D)
+    remote state instead of O(N * D), and the statically-unrolled loop
+    issues each ppermute before the matmuls that hide it, so XLA's
+    latency-hiding scheduler overlaps ICI transfer with MXU compute —
+    the double-buffered "boundary exchange with overlap" design from
+    SURVEY.md §7.4 (item 5).
+
+    The softmax over each adjacency row is computed online: carry a
+    running row max ``m`` and normalizer ``l`` and rescale the output
+    accumulator as new score blocks arrive (the standard flash/ring
+    attention recurrence), so the full (N/k, N) score panel is never
+    materialized either.
+    """
+    k = mesh.shape[axis]
+    b, n, d = x.shape
+    assert n % k == 0, f"N={n} not divisible by mesh axis {axis}={k}"
+    blk = n // k
+    neg = jnp.asarray(-1e8, x.dtype)
+
+    def local(x_blk, v_blk):
+        idx = jax.lax.axis_index(axis)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
+        diag = rows == cols
+
+        perm = [(i, (i + 1) % k) for i in range(k)]
+
+        x_rot, v_rot = x_blk, v_blk
+        acc = jnp.zeros((b, blk, v_blk.shape[-1]), v_blk.dtype)
+        m = jnp.full((b, blk, 1), -jnp.inf, x_blk.dtype)
+        l = jnp.zeros((b, blk, 1), x_blk.dtype)
+
+        for step in range(k):
+            # Kick off the transfer of the NEXT block first; the scheduler
+            # overlaps it with this step's compute (skip on the last step).
+            if step + 1 < k:
+                x_nxt = jax.lax.ppermute(x_rot, axis, perm)
+                v_nxt = jax.lax.ppermute(v_rot, axis, perm)
+
+            # Which owner's block we currently hold: blocks travel
+            # owner -> owner+1 -> ..., so after `step` hops we hold
+            # the block of (idx - step) mod k.
+            src = (idx - step) % k
+
+            s = jnp.einsum("bnd,bmd->bnm", x_blk, x_rot,
+                           preferred_element_type=x_blk.dtype)
+            on_diag_block = (src == idx)
+            s = jnp.where(jnp.logical_and(on_diag_block, diag), s + neg, s)
+            z = jax.nn.leaky_relu(s, 0.01)
+
+            # Online softmax update.
+            m_new = jnp.maximum(m, jnp.max(z, axis=-1, keepdims=True))
+            p = jnp.exp(z - m_new)
+            scale = jnp.exp(m - m_new)
+            acc = acc * scale + jnp.einsum(
+                "bnm,bmf->bnf", p, v_rot,
+                preferred_element_type=acc.dtype)
+            l = l * scale + jnp.sum(p, axis=-1, keepdims=True)
+            m = m_new
+
+            if step + 1 < k:
+                x_rot, v_rot = x_nxt, v_nxt
+
+        return acc / l + v_blk  # "+ I" term of the reference adjacency
+
+    sharded = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None)),
+        out_specs=P(None, axis, None),
+    )
+    x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
+    v = jax.device_put(v, NamedSharding(mesh, P(None, axis, None)))
+    return sharded(x, v)

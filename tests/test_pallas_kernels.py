@@ -54,3 +54,73 @@ def test_fused_trainable_gradients_match_reference():
     gh2, gx2 = jax.grad(loss_ref, argnums=(0, 1))(h, x)
     np.testing.assert_allclose(np.asarray(gh1), np.asarray(gh2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-4)
+
+
+def _gat_inputs(b, n, d, seed=0, batched_adj=False):
+    rng = np.random.default_rng(seed)
+    wh = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    f1 = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    f2 = jnp.asarray(rng.normal(size=(b, n)), jnp.float32)
+    shape = (b, n, n) if batched_adj else (n, n)
+    adj = jnp.asarray(rng.uniform(size=shape) > 0.4, jnp.float32)
+    return wh, f1, f2, adj
+
+
+def test_fused_gat_matches_reference_interpret():
+    from gnn_rul_tpu.ops.pallas.fused_gat import (
+        fused_gat_pallas, fused_gat_reference)
+
+    wh, f1, f2, adj = _gat_inputs(5, 28, 24, seed=3, batched_adj=True)
+    want = np.asarray(fused_gat_reference(wh, f1, f2, adj, 0.3, 0.1))
+    got = np.asarray(
+        fused_gat_pallas(wh, f1, f2, adj, 0.3, 0.1, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_gat_shared_adj_and_unaligned():
+    from gnn_rul_tpu.ops.pallas.fused_gat import (
+        fused_gat_pallas, fused_gat_reference)
+
+    wh, f1, f2, adj = _gat_inputs(3, 14, 9, seed=4, batched_adj=False)
+    want = np.asarray(fused_gat_reference(wh, f1, f2, adj, -0.2, 0.01))
+    got = np.asarray(
+        fused_gat_pallas(wh, f1, f2, adj, -0.2, 0.01, interpret=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_fused_gat_trainable_gradients():
+    import jax
+    from gnn_rul_tpu.ops.pallas.fused_gat import (
+        fused_gat_trainable, fused_gat_reference)
+
+    wh, f1, f2, adj = _gat_inputs(2, 10, 8, seed=5, batched_adj=True)
+
+    def loss_fused(wh, f1, f2):
+        return jnp.sum(fused_gat_trainable(wh, f1, f2, adj, 0.1, 0.1) ** 2)
+
+    def loss_ref(wh, f1, f2):
+        return jnp.sum(fused_gat_reference(wh, f1, f2, adj, 0.1, 0.1) ** 2)
+
+    import numpy as _np
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(wh, f1, f2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(wh, f1, f2)
+    for a, b in zip(g1, g2):
+        _np.testing.assert_allclose(_np.asarray(a), _np.asarray(b),
+                                    atol=1e-4)
+
+
+def test_gat_layer_fused_path_matches_jnp():
+    """GraphAttentionLayer(use_fused=True) == default path (eval mode)."""
+    import jax
+    from gnn_rul_tpu.nn.attention import GraphAttentionLayer
+
+    rng = np.random.default_rng(6)
+    h = jnp.asarray(rng.normal(size=(4, 14, 12)), jnp.float32)
+    adj = jnp.asarray(rng.uniform(size=(4, 14, 14)) > 0.5, jnp.float32)
+
+    base = GraphAttentionLayer(16)
+    fused = GraphAttentionLayer(16, use_fused=True)
+    params = base.init(jax.random.PRNGKey(0), h, adj)
+    want = np.asarray(base.apply(params, h, adj))
+    got = np.asarray(fused.apply(params, h, adj))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)

@@ -128,6 +128,50 @@ def test_node_sharded_graph_matches_reference(mesh):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_ring_graph_matches_reference(mesh):
+    """Ring-pipelined online-softmax aggregation == dense single-device."""
+    from gnn_rul_tpu.parallel.graph_partition import ring_dot_graph_spmm
+    from gnn_rul_tpu.ops.graphs import dot_graph
+    from gnn_rul_tpu.ops.message_passing import spmm
+
+    rng = np.random.default_rng(11)
+    b, n, d, f = 4, 16, 8, 6
+    x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, f)), jnp.float32)
+
+    want = np.asarray(spmm(dot_graph(x), v))
+    got = np.asarray(ring_dot_graph_spmm(x, v, mesh, axis="model"))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_ring_graph_four_way_and_grad():
+    """4-way ring: values AND gradients match the dense computation."""
+    from gnn_rul_tpu.parallel.graph_partition import ring_dot_graph_spmm
+    from gnn_rul_tpu.ops.graphs import dot_graph
+    from gnn_rul_tpu.ops.message_passing import spmm
+
+    m = make_mesh(n_data=4, n_model=2)
+    rng = np.random.default_rng(12)
+    b, n, d = 2, 32, 8
+    x = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, n, d)), jnp.float32)
+
+    def dense_loss(x, v):
+        return jnp.sum(spmm(dot_graph(x), v) ** 2)
+
+    def ring_loss(x, v):
+        return jnp.sum(ring_dot_graph_spmm(x, v, m, axis="data") ** 2)
+
+    np.testing.assert_allclose(float(ring_loss(x, v)),
+                               float(dense_loss(x, v)), rtol=1e-5)
+    gx_w, gv_w = jax.grad(dense_loss, argnums=(0, 1))(x, v)
+    gx_g, gv_g = jax.grad(ring_loss, argnums=(0, 1))(x, v)
+    np.testing.assert_allclose(np.asarray(gx_g), np.asarray(gx_w),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(gv_g), np.asarray(gv_w),
+                               atol=2e-4, rtol=2e-4)
+
+
 def test_node_sharded_graph_larger_axis():
     """Partition over the bigger 'data' axis (4-way) too."""
     from gnn_rul_tpu.parallel.graph_partition import (
