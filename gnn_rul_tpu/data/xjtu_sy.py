@@ -40,7 +40,10 @@ def _read_bearing(folder: str, minutes: int, downsampling: int) -> np.ndarray:
     except (ValueError, KeyError):
         rows = []
         for p in paths:
-            df = pd.read_csv(p)
+            # round_trip parsing = correctly-rounded doubles, matching the
+            # native strtod path bit-for-bit on arbitrary-length mantissas
+            # (pandas' default precise_xstrtod is not correctly rounded).
+            df = pd.read_csv(p, float_precision="round_trip")
             rows.append(
                 df["Horizontal_vibration_signals"].values[::downsampling])
         return np.stack(rows)

@@ -48,33 +48,39 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("GNNRUL_NO_NATIVE"):
         return None
-    if not os.path.exists(_SO_PATH) and not _build():
+    # Always run make first: the Makefile's mtime rule makes this a no-op
+    # when the .so is fresh, and it guarantees we never CDLL a stale or
+    # foreign-host binary that happens to be lying around. The .so is not
+    # version-controlled (see native/.gitignore).
+    if not _build():
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
-    except OSError:
-        return None
-    i64 = ctypes.c_int64
-    f32p = ctypes.POINTER(ctypes.c_float)
-    lib.gnnrul_parse_table.restype = f32p
-    lib.gnnrul_parse_table.argtypes = [ctypes.c_char_p,
-                                       ctypes.POINTER(i64),
-                                       ctypes.POINTER(i64)]
-    lib.gnnrul_free.restype = None
-    lib.gnnrul_free.argtypes = [f32p]
-    lib.gnnrul_parse_tables_stacked.restype = i64
-    lib.gnnrul_parse_tables_stacked.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), i64, i64, i64, i64, f32p]
-    lib.gnnrul_parse_tables_stacked_f64.restype = i64
-    lib.gnnrul_parse_tables_stacked_f64.argtypes = [
-        ctypes.POINTER(ctypes.c_char_p), i64, i64, i64, i64,
-        ctypes.POINTER(ctypes.c_double)]
-    lib.gnnrul_sliding_windows.restype = i64
-    lib.gnnrul_sliding_windows.argtypes = [f32p, i64, i64, i64, i64, f32p]
-    lib.gnnrul_window_series.restype = i64
-    lib.gnnrul_window_series.argtypes = [
-        f32p, f32p, ctypes.POINTER(i64), i64, i64, i64, f32p, f32p]
-    if lib.gnnrul_abi_version() != 1:
+        i64 = ctypes.c_int64
+        f32p = ctypes.POINTER(ctypes.c_float)
+        if lib.gnnrul_abi_version() != 1:
+            return None
+        lib.gnnrul_parse_table.restype = f32p
+        lib.gnnrul_parse_table.argtypes = [ctypes.c_char_p,
+                                           ctypes.POINTER(i64),
+                                           ctypes.POINTER(i64)]
+        lib.gnnrul_free.restype = None
+        lib.gnnrul_free.argtypes = [f32p]
+        lib.gnnrul_parse_tables_stacked.restype = i64
+        lib.gnnrul_parse_tables_stacked.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i64, i64, i64, i64, f32p]
+        lib.gnnrul_parse_tables_stacked_f64.restype = i64
+        lib.gnnrul_parse_tables_stacked_f64.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), i64, i64, i64, i64,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.gnnrul_sliding_windows.restype = i64
+        lib.gnnrul_sliding_windows.argtypes = [f32p, i64, i64, i64, i64,
+                                               f32p]
+        lib.gnnrul_window_series.restype = i64
+        lib.gnnrul_window_series.argtypes = [
+            f32p, f32p, ctypes.POINTER(i64), i64, i64, i64, f32p, f32p]
+    except (OSError, AttributeError):
+        # Unloadable or symbol-incomplete library: numpy fallback.
         return None
     _lib = lib
     return _lib
@@ -118,8 +124,13 @@ def read_tables_stacked(paths: Sequence[str], rows: int, cols: int,
     if lib is None:
         out = np.empty((len(paths), rows, cols), dtype)
         for i, p in enumerate(paths):
-            t = np.loadtxt(p, dtype=dtype, delimiter=",",
-                           skiprows=skip_rows)
+            # Match the native separator set (spaces/tabs/commas/
+            # semicolons): normalize to whitespace, then loadtxt with the
+            # default any-whitespace delimiter so toggling GNNRUL_NO_NATIVE
+            # never changes which inputs parse.
+            with open(p, "r") as f:
+                text = f.read().replace(",", " ").replace(";", " ")
+            t = np.loadtxt(text.splitlines()[skip_rows:], dtype=dtype)
             t = t.reshape(-1, cols)
             if t.shape[0] != rows:
                 raise ValueError(f"{p}: expected {rows} rows, got "

@@ -48,16 +48,16 @@ def _kernel(n_valid_ref, wh_ref, f1_ref, f2_ref, adj_ref, bias_ref,
     n_valid = n_valid_ref[0]
     wh = wh_ref[0]          # (Np, Dp)
     f1 = f1_ref[0]          # (Np, 128) — column 0 is live
-    f2 = f2_ref[0]
-    adj = adj_ref[0]        # (Np, Np)
-    bias = bias_ref[0]
+    f2 = f2_ref[0]          # (8, Np)   — row 0 is live (pre-transposed on
+    adj = adj_ref[0]        # (Np, Np)  #  the host: no lane->sublane move
+    bias = bias_ref[0]      # in-kernel, which Mosaic lowers poorly)
     slope = slope_ref[0]
 
     np_, _ = wh.shape
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
     col_valid = col_ids < n_valid
 
-    e = f1[:, :1] + f2[:, :1].T + bias   # rank-1 broadcast, (Np, Np)
+    e = f1[:, :1] + f2[:1, :] + bias     # rank-1 broadcast, (Np, Np)
     e = jnp.where(e >= 0, e, e * slope)  # leaky_relu with runtime slope
 
     # Softmax over valid columns only (padding must not leak in).
@@ -78,16 +78,20 @@ def fused_gat_pallas(wh, f1, f2, adj, bias, slope, interpret: bool = False):
     """Pallas path. wh: (B, N, D); f1/f2: (B, N); adj: (B, N, N) or
     (N, N); bias/slope scalars -> (B, N, D)."""
     b, n, d = wh.shape
-    np_ = _round_up(n, 8)
+    # Np is lane-aligned (128): the (Np, Np) adj block and the (·, Np)
+    # broadcast row are full-lane tiles, which Mosaic lowers for any N
+    # (the old 8-row padding left e.g. N=400 lane-misaligned).
+    np_ = _round_up(n, 128)
     dp = _round_up(d, 128)
 
     if adj.ndim == 2:
         adj = jnp.broadcast_to(adj, (b, n, n))
 
     wh_p = jnp.pad(wh, ((0, 0), (0, np_ - n), (0, dp - d)))
-    # f vectors live in lane 0 of a (Np, 128) tile.
+    # f1 lives in lane 0 of a (Np, 128) tile; f2 is pre-transposed into
+    # sublane 0 of an (8, Np) tile (see _kernel).
     f1_p = jnp.pad(f1[..., None], ((0, 0), (0, np_ - n), (0, 127)))
-    f2_p = jnp.pad(f2[..., None], ((0, 0), (0, np_ - n), (0, 127)))
+    f2_p = jnp.pad(f2[:, None, :], ((0, 0), (0, 7), (0, np_ - n)))
     adj_p = jnp.pad(adj, ((0, 0), (0, np_ - n), (0, np_ - n)))
     n_valid = jnp.asarray([n], jnp.int32)
     bias_s = jnp.asarray([bias], jnp.float32)
@@ -101,7 +105,7 @@ def fused_gat_pallas(wh, f1, f2, adj, bias, slope, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_, 128), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, 128), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((1, 8, np_), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_, np_), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),

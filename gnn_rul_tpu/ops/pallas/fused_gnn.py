@@ -77,7 +77,11 @@ def fused_dot_graph_spmm_pallas(h, x, mask, interpret: bool = False):
     """Pallas path. h: (B, N, D); x: (B, N, F); mask: (N, N) -> (B, N, F)."""
     b, n, d = h.shape
     f = x.shape[-1]
-    np_ = _round_up(n, 8)
+    # Lane-align Np (128): the (Np, Np) similarity/mask tiles must be
+    # full-lane for Mosaic to lower at arbitrary N (this path is only
+    # dispatched at N >= 384, so the padding overhead is <= 1/3 worst-case
+    # and ~0 at the tile-aligned sizes the roofline sweep measured).
+    np_ = _round_up(n, 128)
     dp = _round_up(d, 128)
     fp = _round_up(f, 128)
 

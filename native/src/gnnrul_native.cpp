@@ -12,6 +12,7 @@
 // numpy.loadtxt semantics bit-for-bit. Separators: any run of spaces,
 // tabs or commas. Blank lines and trailing separators are ignored.
 
+#include <atomic>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -99,12 +100,18 @@ template <typename T>
 int64_t parse_tables_stacked_impl(const char** paths, int64_t n,
                                   int64_t skip_rows, int64_t rows,
                                   int64_t cols, T* out) {
-  int64_t status = 0;
+  // Failure index is an atomic min so the early-stop read is race-free
+  // and the reported file is deterministically the lowest failing index.
+  std::atomic<int64_t> status{0};
 #if defined(_OPENMP)
 #pragma omp parallel for schedule(dynamic)
 #endif
   for (int64_t i = 0; i < n; ++i) {
-    if (status) continue;  // best-effort early stop
+    // Early-stop only files ABOVE the recorded failure: every file below
+    // it still gets checked, so the final status is the true minimum
+    // failing index regardless of thread interleaving.
+    int64_t s = status.load(std::memory_order_relaxed);
+    if (s != 0 && s <= i) continue;
     std::string buf;
     Table t;
     bool ok = read_file(paths[i], &buf);
@@ -115,17 +122,17 @@ int64_t parse_tables_stacked_impl(const char** paths, int64_t n,
            t.rows == rows && t.cols == cols;
     }
     if (!ok) {
-#if defined(_OPENMP)
-#pragma omp critical
-#endif
-      { if (!status) status = i + 1; }
+      int64_t prev = status.load(std::memory_order_relaxed);
+      while ((prev == 0 || i + 1 < prev) &&
+             !status.compare_exchange_weak(prev, i + 1)) {
+      }
       continue;
     }
     T* dst = out + i * rows * cols;
     for (int64_t j = 0; j < rows * cols; ++j)
       dst[j] = static_cast<T>(t.data[j]);
   }
-  return status;
+  return status.load();
 }
 
 }  // namespace
