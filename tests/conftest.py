@@ -11,7 +11,11 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+_pool_ips = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if _pool_ips is not None:
+    # Stashed for tests that subprocess onto the real TPU
+    # (tests/test_pallas_tpu_hw.py restores it in the child env).
+    os.environ["GNNRUL_STASHED_POOL_IPS"] = _pool_ips
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
