@@ -28,7 +28,7 @@ TIERS = [t for t in TIERS if not (t[0] == "ST_GCN" and t[1] == "CMAPSS")]
 TIERS.insert(3, ("ST_GCN", "PHM2012", "Condition_1", (1, 2560)))
 
 
-def bench_jax(method, dataset, sub_id, shape, batch, steps):
+def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -57,11 +57,28 @@ def bench_jax(method, dataset, sub_id, shape, batch, steps):
     tx = make_optimizer(tp["learning_rate"], tp.get("weight_decay", 0.0))
     opt_state = tx.init(params)
 
+    def cast(t):
+        if not bf16:
+            return t
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
+
+    def uncast(t):
+        if not bf16:
+            return t
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, t)
+
     def train_step(params, batch_stats, opt_state, rng):
         def loss_fn(p):
             out, upd = model.apply(
-                {"params": p, "batch_stats": batch_stats}, x, train=True,
+                {"params": cast(p), "batch_stats": cast(batch_stats)},
+                cast(x), train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
+            out = uncast(out)
+            upd = uncast(dict(upd))
             if isinstance(out, tuple):
                 pred, aux = out
                 loss = mse(pred, y) + aux_w * jnp.mean(aux)
@@ -129,6 +146,8 @@ def main():
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--batch", type=int, default=100)
     ap.add_argument("--torch-baseline", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 compute path (fp32 master params)")
     ap.add_argument("--only", default=None)
     args = ap.parse_args()
 
@@ -138,7 +157,7 @@ def main():
         row = {"method": method, "dataset": dataset, "sub_id": sub_id}
         try:
             row["jax"] = bench_jax(method, dataset, sub_id, shape,
-                                   args.batch, args.steps)
+                                   args.batch, args.steps, bf16=args.bf16)
         except Exception as e:  # keep going; report the failure
             row["jax_error"] = repr(e)[:200]
         if args.torch_baseline:

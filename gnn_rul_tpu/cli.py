@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save a resumable checkpoint every K epochs (0=final only)")
     p.add_argument("--resume", action="store_true",
                    help="resume each run from its checkpoint if present")
+    p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
+                   help="bf16: compute forward/backward in bfloat16 (MXU "
+                        "native) with fp32 master params/optimizer/metrics")
     return p
 
 
@@ -59,6 +62,7 @@ def main(argv=None):
         num_runs=args.num_runs,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        precision=args.precision,
     )
     results = trainer.train()
     return results

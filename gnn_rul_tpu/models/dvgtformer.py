@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..nn.basic import Linear, Dropout
+from ..nn.basic import Linear, LinearParams, Dropout
 from ..ops.graphs import pearson_graph
 
 
@@ -52,19 +52,28 @@ class VGTBlock(nn.Module):
     @nn.compact
     def __call__(self, x, a_prior, train: bool = False):
         prior = jax.nn.softmax(nn.relu(a_prior), axis=-1)
-        heads = []
-        for i in range(self.num_heads):
-            q = Linear(self.d_model, name=f"q{i}")(x)
-            k = Linear(self.d_model, name=f"k{i}")(x)
-            v = Linear(self.d_model, name=f"v{i}")(x)
-            scores = jnp.einsum("...nd,...md->...nm", q, k) / np.sqrt(
-                self.d_model)
-            attn = ((1.0 - self.lambda_param) * jax.nn.softmax(scores, axis=-1)
-                    + self.lambda_param * prior)
-            # Reference applies softmax AGAIN over the mixed attention.
-            attn = jax.nn.softmax(attn, axis=-1)
-            heads.append(jnp.einsum("...nm,...md->...nd", attn, v))
-        cat = jnp.concatenate(heads, axis=-1)
+        # All heads batched into stacked einsums (param tree and numerics
+        # identical to per-head Linears; one MXU dispatch per projection
+        # instead of num_heads).
+        d_in = x.shape[-1]
+        def stacked(tag):
+            ps = [LinearParams(self.d_model, name=f"{tag}{i}")(d_in)
+                  for i in range(self.num_heads)]
+            return (jnp.stack([k for k, _ in ps]),
+                    jnp.stack([b for _, b in ps]))
+        (wq, bq), (wk, bk), (wv, bv) = (stacked(t) for t in ("q", "k", "v"))
+        q = jnp.einsum("bnd,hdm->bhnm", x, wq) + bq[None, :, None]
+        k = jnp.einsum("bnd,hdm->bhnm", x, wk) + bk[None, :, None]
+        v = jnp.einsum("bnd,hdm->bhnm", x, wv) + bv[None, :, None]
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k) / np.sqrt(self.d_model)
+        attn = ((1.0 - self.lambda_param) * jax.nn.softmax(scores, axis=-1)
+                + self.lambda_param * prior[:, None])
+        # Reference applies softmax AGAIN over the mixed attention.
+        attn = jax.nn.softmax(attn, axis=-1)
+        out_h = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        # concat in head order == (B, N, H, D) reshape
+        cat = jnp.swapaxes(out_h, 1, 2).reshape(
+            x.shape[0], x.shape[1], self.num_heads * self.d_model)
         out = Linear(self.model_dim, name="W_O")(cat)
         out = nn.LayerNorm(name="layer_norm1")(out) + x
         if self.apply_dropout:

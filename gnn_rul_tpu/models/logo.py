@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..nn.basic import Linear, Dropout
 from ..nn.gnn_blocks import MPNNmk
-from ..nn.recurrent import LSTMLayer
+from ..nn.recurrent import _LSTMParams, bilstm_fused
 from ..ops.graphs import pearson_graph, dot_graph_from_mapped
 
 
@@ -62,8 +62,11 @@ class BiLSTMStandard(nn.Module):
         h = self.num_hidden
 
         def bi(x, hidden, name):
-            f, _ = LSTMLayer(hidden, name=f"{name}_fwd")(x)
-            b, _ = LSTMLayer(hidden, reverse=True, name=f"{name}_bwd")(x)
+            # Both directions in one fused scan (same param tree as two
+            # LSTMLayers; see nn.recurrent.bilstm_fused).
+            pf = _LSTMParams(hidden, name=f"{name}_fwd")(x.shape[-1])
+            pb = _LSTMParams(hidden, name=f"{name}_bwd")(x.shape[-1])
+            f, b, _ = bilstm_fused(x, pf, pb)
             return f + b
 
         x = bi(x, h, "bi_lstm1")

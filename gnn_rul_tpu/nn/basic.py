@@ -32,6 +32,29 @@ class Linear(nn.Module):
         )(x)
 
 
+class _DenseParamLeaf(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        k = self.param("kernel", torch_linear_kernel, (d_in, self.features))
+        b = self.param("bias", fan_in_bias(d_in), (self.features,))
+        return k, b
+
+
+class LinearParams(nn.Module):
+    """Parameter-only :class:`Linear`: declares the identical param tree
+    ({Dense_0: {kernel, bias}}, same init) but returns (kernel, bias)
+    instead of applying the matmul — for callers that batch several
+    Linears (e.g. per-head q/k/v projections) into one stacked einsum.
+    Numerics of the batched matmul equal the per-head matmuls exactly."""
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        return _DenseParamLeaf(self.features, name="Dense_0")(d_in)
+
+
 class BatchNorm1d(nn.Module):
     """torch.nn.BatchNorm1d over the LAST axis (caller arranges layout).
 

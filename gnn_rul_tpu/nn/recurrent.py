@@ -26,15 +26,24 @@ def _rnn_init(hidden: int):
     return uniform_bound(1.0 / np.sqrt(hidden))
 
 
+def _auto_unroll(unroll: int, t: int) -> int:
+    """0 = auto: unroll 4-way once the scan is long enough that per-step
+    loop overhead dominates the tiny per-step matmul (measured on v5e:
+    ~1.5x fwd+bwd at T=100; no win below ~32 steps)."""
+    if unroll > 0:
+        return unroll
+    return 4 if t >= 32 else 1
+
+
 class LSTMLayer(nn.Module):
     """Single-direction single-layer LSTM.
 
     ``unroll`` unrolls the lax.scan body (TPU: reduces loop overhead for
-    small per-step matmuls at some compile-time cost).
+    small per-step matmuls at some compile-time cost); 0 = auto.
     """
     hidden: int
     reverse: bool = False
-    unroll: int = 1
+    unroll: int = 0
 
     @nn.compact
     def __call__(self, x, h0=None, c0=None):
@@ -65,8 +74,68 @@ class LSTMLayer(nn.Module):
             return (h, c), h
 
         (hn, cn), ys = jax.lax.scan(step, (h0, c0), xg, reverse=self.reverse,
-                                    unroll=self.unroll)
+                                    unroll=_auto_unroll(self.unroll, t))
         return jnp.swapaxes(ys, 0, 1), (hn, cn)
+
+
+class _LSTMParams(nn.Module):
+    """Parameter-only LSTM cell: declares the same w_ih/w_hh/b_ih/b_hh tree
+    as LSTMLayer (so torch weight-import mappings are unchanged) without
+    running a scan — used by the fused bidirectional path."""
+    hidden: int
+
+    @nn.compact
+    def __call__(self, d: int):
+        init = _rnn_init(self.hidden)
+        return (self.param("w_ih", init, (d, 4 * self.hidden)),
+                self.param("w_hh", init, (self.hidden, 4 * self.hidden)),
+                self.param("b_ih", init, (4 * self.hidden,)),
+                self.param("b_hh", init, (4 * self.hidden,)))
+
+
+def _lstm_cell_math(gates, c):
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    return jax.nn.sigmoid(o) * jnp.tanh(c), c
+
+
+def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0):
+    """Run forward+backward LSTM directions in ONE lax.scan.
+
+    Halves the sequential scan count vs two separate LSTMLayers and fuses
+    the two per-step (B, H) @ (H, 4H) recurrences into one batched matmul
+    (2, B, H) @ (2, H, 4H) — one MXU dispatch per step instead of two.
+    Numerically identical to running the directions separately.
+
+    x: (B, T, D). Returns (ys_fwd, ys_bwd) each (B, T, H), plus
+    ((hf, cf), (hb, cb)) final states.
+    """
+    b, t, _ = x.shape
+    w_ih_f, w_hh_f, b_ih_f, b_hh_f = params_fwd
+    w_ih_b, w_hh_b, b_ih_b, b_hh_b = params_bwd
+    hid = w_hh_f.shape[0]
+
+    # Input projections hoisted out of the scan; backward direction's
+    # sequence pre-flipped so step i consumes position T-1-i.
+    xg_f = jnp.einsum("btd,dg->tbg", x, w_ih_f) + b_ih_f + b_hh_f
+    xg_b = jnp.einsum("btd,dg->tbg", x, w_ih_b) + b_ih_b + b_hh_b
+    xg = jnp.stack([xg_f, xg_b[::-1]], axis=1)  # (T, 2, B, 4H)
+
+    w_hh = jnp.stack([w_hh_f, w_hh_b])  # (2, H, 4H)
+    h0 = jnp.zeros((2, b, hid), x.dtype)
+    c0 = jnp.zeros((2, b, hid), x.dtype)
+
+    def step(carry, xt):
+        h, c = carry
+        gates = xt + jnp.einsum("kbh,khg->kbg", h, w_hh)
+        h, c = _lstm_cell_math(gates, c)
+        return (h, c), h
+
+    (hn, cn), ys = jax.lax.scan(step, (h0, c0), xg,
+                                unroll=_auto_unroll(unroll, t))
+    ys_f = jnp.swapaxes(ys[:, 0], 0, 1)            # (B, T, H)
+    ys_b = jnp.swapaxes(ys[::-1, 1], 0, 1)         # un-flip backward outputs
+    return ys_f, ys_b, ((hn[0], cn[0]), (hn[1], cn[1]))
 
 
 class LSTM(nn.Module):
@@ -80,15 +149,16 @@ class LSTM(nn.Module):
     def __call__(self, x):
         h_last, c_last = [], []
         for layer in range(self.num_layers):
-            fwd, (hf, cf) = LSTMLayer(self.hidden, name=f"l{layer}_fwd")(x)
             if self.bidirectional:
-                bwd, (hb, cb) = LSTMLayer(self.hidden, reverse=True,
-                                          name=f"l{layer}_bwd")(x)
+                d = x.shape[-1]
+                pf = _LSTMParams(self.hidden, name=f"l{layer}_fwd")(d)
+                pb = _LSTMParams(self.hidden, name=f"l{layer}_bwd")(d)
+                fwd, bwd, ((hf, cf), (hb, cb)) = bilstm_fused(x, pf, pb)
                 x = jnp.concatenate([fwd, bwd], axis=-1)
                 h_last += [hf, hb]
                 c_last += [cf, cb]
             else:
-                x = fwd
+                x, (hf, cf) = LSTMLayer(self.hidden, name=f"l{layer}_fwd")(x)
                 h_last.append(hf)
                 c_last.append(cf)
         h_n = jnp.stack(h_last, axis=0)
@@ -97,10 +167,11 @@ class LSTM(nn.Module):
 
 
 class GRULayer(nn.Module):
-    """Single-direction single-layer GRU (torch [r, z, n] gate layout)."""
+    """Single-direction single-layer GRU (torch [r, z, n] gate layout).
+    ``unroll``: see LSTMLayer (0 = auto)."""
     hidden: int
     reverse: bool = False
-    unroll: int = 1
+    unroll: int = 0
 
     @nn.compact
     def __call__(self, x, h0=None):
@@ -128,7 +199,7 @@ class GRULayer(nn.Module):
             return h, h
 
         hn, ys = jax.lax.scan(step, h0, xg, reverse=self.reverse,
-                              unroll=self.unroll)
+                              unroll=_auto_unroll(self.unroll, t))
         return jnp.swapaxes(ys, 0, 1), hn
 
 

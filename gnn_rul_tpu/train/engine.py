@@ -76,7 +76,7 @@ class Engine:
 
     def __init__(self, model, spec: AlgorithmSpec, train_params: Dict,
                  seed: int = 0, eval_batch_size: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, precision: str = "fp32"):
         self.model = model
         self.spec = spec
         self.train_params = dict(train_params)
@@ -85,6 +85,13 @@ class Engine:
         self.num_epochs = int(train_params["num_epochs"])
         self.aux_weight = resolve_aux_weight(spec, train_params)
         self.seed = seed
+        # "bf16": forward/backward compute in bfloat16 (native MXU dtype,
+        # halves activation HBM traffic) with fp32 master params, fp32
+        # optimizer and fp32 loss/metrics. Opt-in — the default keeps
+        # bit-level reference parity. New capability vs the reference
+        # (torch fp32-only, trainer.py:107-113).
+        assert precision in ("fp32", "bf16"), precision
+        self.precision = precision
         # Optional (data, model) mesh: batches get sharded over 'data'
         # inside the jitted steps (XLA inserts the gradient psum). Only
         # applied when the batch divides the data-axis size.
@@ -133,6 +140,22 @@ class Engine:
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(self.mesh, spec))
 
+    def _compute_cast(self, tree):
+        """fp32 -> bf16 cast for the compute path (no-op at fp32).
+        Differentiable: grads flow back as fp32 into the master params."""
+        if self.precision != "bf16":
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, tree)
+
+    def _fp32_cast(self, tree):
+        if self.precision != "bf16":
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a, tree)
+
     def _make_train_step(self):
         model, tx = self.model, self.tx
 
@@ -141,10 +164,15 @@ class Engine:
             y = self._shard_batch(y)
             def loss_fn(p):
                 out, updates = model.apply(
-                    {"params": p, "batch_stats": batch_stats}, x, train=True,
+                    {"params": self._compute_cast(p),
+                     "batch_stats": self._compute_cast(batch_stats)},
+                    self._compute_cast(x), train=True,
                     mutable=["batch_stats"], rngs={"dropout": rng})
+                out = self._fp32_cast(out)
                 loss = self._loss_from_output(out, y)
-                return loss, updates.get("batch_stats", batch_stats)
+                new_bs = self._fp32_cast(
+                    updates.get("batch_stats", batch_stats))
+                return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params)
@@ -247,10 +275,11 @@ class Engine:
                 x = jax.lax.dynamic_slice_in_dim(x_pad, i * ebs, ebs)
                 x = self._shard_batch(x)
                 out = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, x,
-                    train=False)
+                    {"params": self._compute_cast(params),
+                     "batch_stats": self._compute_cast(batch_stats)},
+                    self._compute_cast(x), train=False)
                 pred = out[0] if isinstance(out, tuple) else out
-                return None, pred.reshape(-1)
+                return None, pred.reshape(-1).astype(jnp.float32)
 
             _, preds = jax.lax.scan(body, None, jnp.arange(n_batches))
             return preds.reshape(-1)

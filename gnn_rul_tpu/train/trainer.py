@@ -96,7 +96,8 @@ class Trainer:
                  model_hparams: Optional[Dict] = None,
                  checkpoint_every: int = 0,
                  mesh=None,
-                 resume: bool = False):
+                 resume: bool = False,
+                 precision: str = "fp32"):
         self.method = method
         self.dataset = dataset
         self.dataset_id = dataset_id
@@ -105,6 +106,7 @@ class Trainer:
         self.checkpoint_every = checkpoint_every
         self.mesh = mesh
         self.resume = resume
+        self.precision = precision
 
         self.dataset_config = get_dataset_config(dataset)
         self.train_params = train_params or hparams_bank.train_params(
@@ -120,7 +122,7 @@ class Trainer:
     def _build_engine(self, seed: int) -> Engine:
         model = self.spec.model_cls(**self.model_hparams)
         return Engine(model, self.spec, self.train_params, seed=seed,
-                      mesh=self.mesh)
+                      mesh=self.mesh, precision=self.precision)
 
     def _evaluate_and_track(self, engine, state, trackers, run_dir, logger):
         if self.data.is_dict_test:
