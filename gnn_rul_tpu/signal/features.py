@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .stft import _fft_f32
+
 
 def _std_unbiased(x, axis=-1):
     n = x.shape[axis]
@@ -55,8 +57,8 @@ def frequency_features_8(x: jnp.ndarray) -> jnp.ndarray:
     """(B, L) -> (B, 8) — reference models/SAGCN/Model.py:41-57 (fs=1)."""
     n = x.shape[-1]
     freqs = jnp.asarray(np.fft.fftfreq(n), dtype=x.dtype)
-    fft_vals = jnp.fft.fft(x, axis=-1)
-    amp = jnp.abs(fft_vals)
+    fft_vals = jnp.fft.fft(_fft_f32(x), axis=-1)
+    amp = jnp.abs(fft_vals).astype(x.dtype)
     psd = (amp * amp / n).astype(x.dtype)
 
     psd_sum = jnp.sum(psd, axis=-1)
@@ -138,7 +140,7 @@ def sed_features(x: jnp.ndarray, interval: int, band_width: int) -> jnp.ndarray:
     """Spectral energy difference (B, L) -> (B, (L-interval)//band_width)
     — reference models/STMSGCN/Model.py:7-31."""
     b = x.shape[0]
-    spec = jnp.fft.fft(x, axis=-1)
+    spec = jnp.fft.fft(_fft_f32(x), axis=-1)
     sd = spec[:, interval:] - spec[:, :-interval]
     sq = (sd.real ** 2 + sd.imag ** 2).astype(x.dtype)
     return jnp.sum(sq.reshape(b, -1, band_width), axis=-1)

@@ -16,6 +16,12 @@ import numpy as np
 import jax.numpy as jnp
 
 
+def _fft_f32(x: jnp.ndarray) -> jnp.ndarray:
+    """FFT inputs must be float32/float64; upcast bf16/fp16 compute dtypes."""
+    return x if x.dtype in (jnp.float32, jnp.float64) else x.astype(
+        jnp.float32)
+
+
 def hann_window_periodic(n: int, dtype=jnp.float32) -> jnp.ndarray:
     """torch.hann_window(n, periodic=True) = 0.5*(1 - cos(2 pi k / n))."""
     k = np.arange(n)
@@ -37,6 +43,8 @@ def stft_magnitude(x: jnp.ndarray, nperseg: int) -> jnp.ndarray:
         [xp[:, t * nperseg: t * nperseg + nperseg] for t in range(num_frames)],
         axis=1)  # (B, F, nperseg)
     frames = frames * hann_window_periodic(nperseg, dtype=x.dtype)
-    spec = jnp.fft.rfft(frames, axis=-1)  # (B, F, bins)
+    # rFFT has no sub-fp32 path (and no MXU benefit from bf16): under
+    # mixed precision compute the transform in fp32, return x.dtype.
+    spec = jnp.fft.rfft(_fft_f32(frames), axis=-1)  # (B, F, bins)
     mag = jnp.abs(spec).astype(x.dtype)
     return jnp.swapaxes(mag, 1, 2)  # (B, bins, F)
