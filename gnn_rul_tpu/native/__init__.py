@@ -34,8 +34,19 @@ def _build() -> bool:
     if not os.path.exists(src):
         return False
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                       capture_output=True, timeout=120)
+        # Serialize concurrent first-use builds (e.g. multiprocessing data
+        # prep on a fresh checkout) with an flock; the Makefile additionally
+        # compiles to a temp name and atomically renames, so even without
+        # the lock a reader never CDLLs a half-written .so.
+        lock_path = os.path.join(_NATIVE_DIR, ".build.lock")
+        with open(lock_path, "w") as lock_f:
+            try:
+                import fcntl
+                fcntl.flock(lock_f, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: fall back to unserialized make
+                pass
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True, timeout=120)
         return os.path.exists(_SO_PATH)
     except Exception:
         return False
@@ -53,6 +64,10 @@ def _load() -> Optional[ctypes.CDLL]:
     # foreign-host binary that happens to be lying around. The .so is not
     # version-controlled (see native/.gitignore).
     if not _build():
+        # Make the silent performance cliff visible once per process.
+        import warnings
+        warnings.warn("gnn_rul_tpu.native: C++ build unavailable; using "
+                      "the (slower) numpy fallback parsers", RuntimeWarning)
         return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
@@ -96,7 +111,12 @@ def read_table(path: str) -> np.ndarray:
     float32. Native when available, else np.loadtxt."""
     lib = _load()
     if lib is None:
-        return np.loadtxt(path, dtype=np.float32, delimiter=None)
+        # Match the native separator set (spaces/tabs/commas/semicolons),
+        # same normalization as read_tables_stacked's fallback, so toggling
+        # GNNRUL_NO_NATIVE never changes which inputs parse.
+        with open(path, "r") as f:
+            text = f.read().replace(",", " ").replace(";", " ")
+        return np.loadtxt(text.splitlines(), dtype=np.float32)
     rows = ctypes.c_int64()
     cols = ctypes.c_int64()
     ptr = lib.gnnrul_parse_table(path.encode(), ctypes.byref(rows),

@@ -163,9 +163,16 @@ class Engine:
             x = self._shard_batch(x)
             y = self._shard_batch(y)
             def loss_fn(p):
+                # batch_stats stay fp32 through the whole update path: BN in
+                # train mode normalizes with BATCH statistics (bf16 compute is
+                # fine there) but its running-stat EMA (0.9*old + 0.1*batch)
+                # must accumulate in fp32 — at bf16's ~8-bit mantissa the
+                # small increments quantize away over training. Passing the
+                # fp32 collection makes the EMA promote to fp32 (fp32 state,
+                # bf16 batch term), so only compute is quantized, not state.
                 out, updates = model.apply(
                     {"params": self._compute_cast(p),
-                     "batch_stats": self._compute_cast(batch_stats)},
+                     "batch_stats": batch_stats},
                     self._compute_cast(x), train=True,
                     mutable=["batch_stats"], rngs={"dropout": rng})
                 out = self._fp32_cast(out)
@@ -192,6 +199,31 @@ class Engine:
 
         train_step = self._make_train_step()
 
+        # Datasets smaller than one batch (n_full == 0) train entirely via
+        # the remainder step; the scan body cannot even be traced then
+        # (full-batch slice > operand).
+        run_epoch = None
+        if n_full:
+            run_epoch = self._make_scan_fn(train_step, n_full)
+
+        rem_fn = None
+        if rem:
+            @jax.jit
+            def rem_fn(params, batch_stats, opt_state, step, perm, epoch_rng,
+                       x_all, y_all):
+                idx = jax.lax.dynamic_slice_in_dim(perm, n_full * bs, rem)
+                x = jnp.take(x_all, idx, axis=0)
+                y = jnp.take(y_all, idx, axis=0)
+                rng = jax.random.fold_in(epoch_rng, n_full)
+                return train_step(params, batch_stats, opt_state, step, x, y,
+                                  rng)
+
+        self._epoch_cache[key] = (run_epoch, rem_fn)
+        return (run_epoch, rem_fn), n_full, rem
+
+    def _make_scan_fn(self, train_step, n_full: int):
+        bs = self.batch_size
+
         @jax.jit
         def run_epoch(params, batch_stats, opt_state, step, perm, epoch_rng,
                       x_all, y_all):
@@ -210,20 +242,7 @@ class Engine:
                 jnp.arange(n_full))
             return carry, losses
 
-        rem_fn = None
-        if rem:
-            @jax.jit
-            def rem_fn(params, batch_stats, opt_state, step, perm, epoch_rng,
-                       x_all, y_all):
-                idx = jax.lax.dynamic_slice_in_dim(perm, n_full * bs, rem)
-                x = jnp.take(x_all, idx, axis=0)
-                y = jnp.take(y_all, idx, axis=0)
-                rng = jax.random.fold_in(epoch_rng, n_full)
-                return train_step(params, batch_stats, opt_state, step, x, y,
-                                  rng)
-
-        self._epoch_cache[key] = (run_epoch, rem_fn)
-        return (run_epoch, rem_fn), n_full, rem
+        return run_epoch
 
     # ------------------------------------------------------------------- fit
 
@@ -247,11 +266,15 @@ class Engine:
             perm = jnp.arange(n)
         epoch_rng = jax.random.fold_in(self._dropout_base, epoch)
 
-        (params, batch_stats, opt_state, step), losses = epoch_fn(
-            state.params, state.batch_stats, state.opt_state, state.step,
-            perm, epoch_rng, x_all, y_all)
-        total = float(jnp.sum(losses)) * self.batch_size
-        count = n_full * self.batch_size
+        params, batch_stats, opt_state, step = (
+            state.params, state.batch_stats, state.opt_state, state.step)
+        total, count = 0.0, 0
+        if epoch_fn is not None:
+            (params, batch_stats, opt_state, step), losses = epoch_fn(
+                params, batch_stats, opt_state, step,
+                perm, epoch_rng, x_all, y_all)
+            total = float(jnp.sum(losses)) * self.batch_size
+            count = n_full * self.batch_size
         if rem_fn is not None:
             params, batch_stats, opt_state, step, rloss = rem_fn(
                 params, batch_stats, opt_state, step, perm, epoch_rng,

@@ -3,7 +3,6 @@ file through BOTH our preprocessor and the mounted reference implementation
 (Data_Process/Data_read_NCMAPSS.py) must agree."""
 
 import os
-import sys
 
 import numpy as np
 import pytest
@@ -65,57 +64,45 @@ def test_ncmapss_contract_shapes(tmp_path):
     assert out["train_x"].max() <= 1 + 1e-6
 
 
-def test_ncmapss_matches_reference(tmp_path, monkeypatch):
-    """Run the mounted reference N-CMAPSS preprocessor on the same h5 and
-    compare arrays (window content, per-unit test dicts, max_rul)."""
+def test_ncmapss_matches_reference(tmp_path):
+    """Run the mounted reference N-CMAPSS preprocessor on the same h5 (in a
+    pinned subprocess — the reference tree is untrusted) and compare arrays
+    (window content, per-unit test dicts, max_rul)."""
     pytest.importorskip("torch")
     pytest.importorskip("sklearn")
+    from ref_subprocess import run_reference_ncmapss
     root = _write_h5(tmp_path)
 
     ours = preprocess_ncmapss(root, window_size=10, stride=1, subsampling=2,
                               out_dir=os.path.join(str(tmp_path), "ours"))
+    ref = run_reference_ncmapss(root, window_size=10, stride=1,
+                                subsampling=2,
+                                out_npz=os.path.join(str(tmp_path),
+                                                     "ref.npz"))
 
-    monkeypatch.chdir(str(tmp_path))  # reference saves relative to cwd
-    sys.path.insert(0, "/root/reference/Data_Process")
-    try:
-        from Data_read_NCMAPSS import NCMAPSS as RefNCMAPSS
-        ref = RefNCMAPSS(str(tmp_path), window_size=10, stride=1,
-                         subsampling=2)
-    finally:
-        sys.path.remove("/root/reference/Data_Process")
-
-    np.testing.assert_allclose(ours["train_x"],
-                               np.asarray(ref.train_x, np.float32),
-                               atol=1e-6)
+    np.testing.assert_allclose(ours["train_x"], ref["train_x"], atol=1e-6)
     np.testing.assert_allclose(ours["train_y"].reshape(-1),
-                               np.asarray(ref.train_y, np.float32).reshape(-1),
-                               atol=1e-7)
-    assert set(ours["test_x"]) == set(ref.test_x)
-    for u in ref.test_x:
-        np.testing.assert_allclose(ours["test_x"][u],
-                                   np.asarray(ref.test_x[u], np.float32),
+                               ref["train_y"].reshape(-1), atol=1e-7)
+    assert set(ours["test_x"]) == set(ref["test_x"])
+    for u in ref["test_x"]:
+        np.testing.assert_allclose(ours["test_x"][u], ref["test_x"][u],
                                    atol=1e-6)
         np.testing.assert_allclose(ours["test_y"][u].reshape(-1),
-                                   np.asarray(ref.test_y[u],
-                                              np.float32).reshape(-1),
-                                   atol=1e-7)
-        assert float(ours["max_rul"][u]) == float(ref.max_rul[u])
+                                   ref["test_y"][u].reshape(-1), atol=1e-7)
+        assert float(ours["max_rul"][u]) == float(ref["max_rul"][u])
 
 
 def test_loader_reads_reference_ncmapss_artifacts(tmp_path, monkeypatch):
     """Our device-resident loader must ingest the reference's NCMAPSS .pt
     artifacts (dict-of-test-sets keyed by float unit id) directly."""
     pytest.importorskip("torch")
+    from ref_subprocess import run_reference_ncmapss
     root = _write_h5(tmp_path)
     monkeypatch.chdir(str(tmp_path))
-    sys.path.insert(0, "/root/reference/Data_Process")
-    try:
-        from Data_read_NCMAPSS import NCMAPSS as RefNCMAPSS
-        # window 25 > 20 channels: same geometry as the real dataset
-        # (50 > 20), so the min-dim layout rule moves channels to axis 1.
-        RefNCMAPSS(str(tmp_path), window_size=25, stride=1, subsampling=1)
-    finally:
-        sys.path.remove("/root/reference/Data_Process")
+    # window 25 > 20 channels: same geometry as the real dataset
+    # (50 > 20), so the min-dim layout rule moves channels to axis 1.
+    run_reference_ncmapss(root, window_size=25, stride=1, subsampling=1,
+                          out_npz=os.path.join(str(tmp_path), "ref2.npz"))
 
     from gnn_rul_tpu.data.loader import load_dataset
     data = load_dataset(os.path.join(str(tmp_path), "Processed_dataset",
