@@ -17,18 +17,29 @@ TIERS = [
     ("FC_STGNN", "CMAPSS", "FD001", (14, 50)),
     ("HierCorrPool", "CMAPSS", "FD004", (14, 50)),
     ("STGNN", "CMAPSS", "FD004", (14, 50)),
-    ("ST_GCN", "CMAPSS", "FD004", (14, 50)),
+    ("ST_GCN", "PHM2012", "Condition_1", (1, 2560)),
     ("DVGTformer", "CMAPSS", "FD001", (14, 50)),
+    # BASELINE tier 4: N-CMAPSS (20 channels, dict-of-units protocol)
+    ("DVGTformer", "NCMAPSS", None, (20, 50)),
+    ("GRU_CM", "NCMAPSS", None, (20, 50)),
     ("GAT_LSTM", "PHM2012", "Condition_1", (1, 2560)),
     ("LOGO_bearing", "PHM2012", "Condition_1", (1, 2560)),
     ("HierCorrPool_bearing", "PHM2012", "Condition_1", (1, 2560)),
+    # BASELINE tier 5 at true scale: XJTU-SY raw L=30768
+    # (reference configs/data_model_configs.py:43, hparams.py:326-434)
+    ("LOGO_bearing", "XJTU_SY", "Condition_1", (1, 30768)),
+    ("HierCorrPool_bearing", "XJTU_SY", "Condition_1", (1, 30768)),
+    ("GAT_LSTM", "XJTU_SY", "Condition_1", (1, 30768)),
+    # Scaled sensor-array config (N=256 -> 512-node window graphs): the
+    # regime the per-sample fused Pallas kernel targets (N >= 384). Not a
+    # reference tier — the scale row for the edges/s north star.
+    ("FC_STGNN", "CMAPSS", "FD001", (256, 50),
+     {"num_node": 256, "hidden_dim": 64, "label": "FC_STGNN_scaledN256"}),
 ]
-# ST_GCN is bearing-only; its CMAPSS row above is replaced at runtime.
-TIERS = [t for t in TIERS if not (t[0] == "ST_GCN" and t[1] == "CMAPSS")]
-TIERS.insert(3, ("ST_GCN", "PHM2012", "Condition_1", (1, 2560)))
 
 
-def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False):
+def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False,
+              fused="auto", hp_override=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,8 +51,12 @@ def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False):
     from gnn_rul_tpu.train.engine import make_optimizer, mse
 
     spec = get_algorithm_spec(method)
-    hp = hparams.model_hparams(dataset, sub_id, method)
+    hp = dict(hparams.model_hparams(dataset, sub_id, method))
+    if hp_override:
+        hp.update({k: v for k, v in hp_override.items() if k != "label"})
     tp = hparams.train_params(dataset, sub_id, method)
+    if spec.supports_fused:
+        hp["fused"] = fused
     model = spec.model_cls(**hp)
     aux_w = resolve_aux_weight(spec, tp)
 
@@ -107,7 +122,14 @@ def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False):
     t0 = time.perf_counter()
     loss = float(run(params, batch_stats, opt_state, jax.random.PRNGKey(2)))
     dt = (time.perf_counter() - t0) / steps
+
+    from gnn_rul_tpu.ops.edge_count import edges_per_sample
+    try:
+        eps = edges_per_sample(model, np.zeros((2,) + shape, np.float32))
+    except Exception:
+        eps = 0
     return dict(step_ms=dt * 1e3, samples_per_s=batch / dt,
+                edges_per_s=batch / dt * eps, edges_per_sample=eps,
                 compile_s=compile_s, loss=loss)
 
 
@@ -148,16 +170,29 @@ def main():
     ap.add_argument("--torch-baseline", action="store_true")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 compute path (fp32 master params)")
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                    help="Pallas fused-kernel mode for models that "
+                         "support it")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--dataset", default=None,
+                    help="restrict tiers to one dataset")
     args = ap.parse_args()
 
-    for method, dataset, sub_id, shape in TIERS:
-        if args.only and method != args.only:
+    for tier in TIERS:
+        method, dataset, sub_id, shape = tier[:4]
+        hp_override = tier[4] if len(tier) > 4 else None
+        label = (hp_override or {}).get("label", method)
+        if args.only and label != args.only:
             continue
-        row = {"method": method, "dataset": dataset, "sub_id": sub_id}
+        if args.dataset and dataset != args.dataset:
+            continue
+        row = {"method": label, "dataset": dataset, "sub_id": sub_id,
+               "fused": args.fused, "bf16": args.bf16}
         try:
             row["jax"] = bench_jax(method, dataset, sub_id, shape,
-                                   args.batch, args.steps, bf16=args.bf16)
+                                   args.batch, args.steps, bf16=args.bf16,
+                                   fused=args.fused,
+                                   hp_override=hp_override)
         except Exception as e:  # keep going; report the failure
             row["jax_error"] = repr(e)[:200]
         if args.torch_baseline:

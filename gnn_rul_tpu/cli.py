@@ -38,7 +38,36 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precision", default="fp32", choices=["fp32", "bf16"],
                    help="bf16: compute forward/backward in bfloat16 (MXU "
                         "native) with fp32 master params/optimizer/metrics")
+    p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                   help="fused Pallas kernels for the dot-graph/GAT hot ops "
+                        "(models that support it): auto = measured "
+                        "Pallas/XLA dispatch, on = force, off = plain XLA")
+    p.add_argument("--mesh", default=None, metavar="data=N,model=M",
+                   help="train over a (data, model) device mesh, e.g. "
+                        "'data=4,model=2' (default: single device). To test "
+                        "without a pod: XLA_FLAGS="
+                        "--xla_force_host_platform_device_count=8 "
+                        "JAX_PLATFORMS=cpu")
+    p.add_argument("--epochs", type=int, default=0,
+                   help="override the hparam-bank num_epochs (0 = keep)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of one training epoch "
+                        "into DIR (view with tensorboard/xprof)")
     return p
+
+
+def parse_mesh_arg(spec: str):
+    """'data=N,model=M' -> jax.sharding.Mesh via parallel.mesh.make_mesh."""
+    from .parallel.mesh import make_mesh
+    sizes = {"data": 1, "model": 1}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in sizes or not v.strip().isdigit():
+            raise ValueError(
+                f"bad --mesh component {part!r} (want data=N,model=M)")
+        sizes[k] = int(v)
+    return make_mesh(n_data=sizes["data"], n_model=sizes["model"])
 
 
 def main(argv=None):
@@ -50,6 +79,7 @@ def main(argv=None):
     data_path = resolve_data_path(args.data_path, args.dataset,
                                   args.dataset_id, args.bearing_id)
     data = load_dataset(data_path)
+    mesh = parse_mesh_arg(args.mesh) if args.mesh else None
 
     trainer = Trainer(
         method=args.GNN_method,
@@ -63,6 +93,10 @@ def main(argv=None):
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
         precision=args.precision,
+        fused=args.fused,
+        mesh=mesh,
+        num_epochs_override=args.epochs or None,
+        profile_dir=args.profile,
     )
     results = trainer.train()
     return results

@@ -44,7 +44,9 @@ class GraphConvPoolMPNN(nn.Module):
     stride: int
     decay: float = 0.7
     pool: str = "mean"
-    use_fused_kernel: bool = False
+    # "auto" = measured Pallas/XLA dispatch, "on" = force the fused
+    # Pallas kernel, "off" = plain XLA (ops/pallas/fused_gnn.py).
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -61,10 +63,10 @@ class GraphConvPoolMPNN(nn.Module):
 
         nodes = BatchNorm1d(name="bn_in")(nodes, train=train)
 
-        if self.use_fused_kernel:
+        if self.fused != "off":
             # Pallas path: graph construction + mask + aggregation fused.
             from ..ops.pallas.fused_gnn import fused_dot_graph_spmm_trainable
-            agg = fused_dot_graph_spmm_trainable(h, nodes, mask)
+            agg = fused_dot_graph_spmm_trainable(h, nodes, mask, self.fused)
         else:
             adj = dot_graph_from_mapped(h) * mask
             agg = spmm(adj, nodes)
@@ -98,7 +100,7 @@ class FCSTGNN(nn.Module):
     moving_window: Tuple[int, int] = (2, 2)
     stride: Tuple[int, int] = (1, 2)
     pe_dropout: float = 0.1
-    use_fused_kernel: bool = False
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -126,13 +128,11 @@ class FCSTGNN(nn.Module):
 
         out1 = GraphConvPoolMPNN(
             self.hidden_dim, self.num_node, self.moving_window[0],
-            self.stride[0], self.decay,
-            use_fused_kernel=self.use_fused_kernel,
+            self.stride[0], self.decay, fused=self.fused,
             name="mpnn1")(enc, train=train)
         out2 = GraphConvPoolMPNN(
             self.hidden_dim, self.num_node, self.moving_window[1],
-            self.stride[1], self.decay,
-            use_fused_kernel=self.use_fused_kernel,
+            self.stride[1], self.decay, fused=self.fused,
             name="mpnn2")(enc, train=train)
 
         feats = jnp.concatenate(

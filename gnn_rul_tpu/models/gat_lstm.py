@@ -37,6 +37,7 @@ class GATLSTM(nn.Module):
     lstm_hidden_dim: Sequence[int]
     dropout: float = 0.1
     alpha: float = 0.1
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -49,7 +50,8 @@ class GATLSTM(nn.Module):
         for i, out_dim in enumerate(self.hidden_dim):
             h = GraphAttentionLayer(
                 out_dim, self.dropout, negative_slope=self.alpha,
-                final_leaky_relu=True, name=f"gat{i}")(h, adj, train=train)
+                final_leaky_relu=True, fused=self.fused,
+                name=f"gat{i}")(h, adj, train=train)
 
         for i, hid in enumerate(self.lstm_hidden_dim):
             h, _ = LSTMLayer(hid, name=f"lstm{i}")(h)

@@ -17,8 +17,25 @@ import jax.numpy as jnp
 from ..nn.attention import GraphAttentionLayer
 from ..nn.basic import Linear, MLP
 from ..nn.recurrent import LSTMLayer
-from ..ops.graphs import pearson_graph
 from ..signal.stft import stft_magnitude
+
+
+def gdagdl_pcc(mag):
+    """Reference GDAGDL 'PCC' (models/GDAGDL/Model.py:42-63) — NOT a true
+    Pearson matrix: the second bmm operand is ``centered.reshape(bs*T, f, N)``,
+    a row-major REINTERPRETATION of the (N, f) block rather than a
+    transpose, so the dot products mix scrambled feature vectors (diagonal
+    is not 1, values exceed [-1, 1]). Reproduced exactly, including the
+    unguarded norm division, because the downstream ``importance > 0``
+    adjacency threshold is sensitive to these values."""
+    from ..ops.edge_count import record_edges
+    b, n, f = mag.shape
+    record_edges((b, n, n))
+    c = mag - jnp.mean(mag, axis=-1, keepdims=True)
+    scrambled = c.reshape(b, f, n)  # the reference's reshape quirk
+    dot = jnp.einsum("bnf,bfm->bnm", c, scrambled)
+    norms = jnp.sqrt(jnp.sum(c * c, axis=-1))
+    return dot / (norms[:, :, None] * norms[:, None, :])
 
 
 class GDAGDL(nn.Module):
@@ -32,6 +49,10 @@ class GDAGDL(nn.Module):
     lstm_hidden_dim: int
     autoencoder_hidden_dim: int
     autoencoder_out_dim: int
+    fused: str = "auto"
+    # reference hardcodes 0.5 (models/GDAGDL/Model.py:78); configurable so
+    # train-mode aux parity can be checked deterministically
+    attn_dropout: float = 0.5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -41,7 +62,7 @@ class GDAGDL(nn.Module):
         mag = stft_magnitude(flat, self.nperseg)  # (B*T, bins, frames)
         n, f = mag.shape[-2], mag.shape[-1]
 
-        adj = pearson_graph(mag)  # (B*T, N, N)
+        adj = gdagdl_pcc(mag)  # (B*T, N, N)
 
         importance = Linear(1, name="node_importance_linear")(mag)
         importance = jnp.einsum("...nm,...mo->...no", adj, importance)[..., 0]
@@ -50,7 +71,8 @@ class GDAGDL(nn.Module):
 
         h = mag
         for i, out_dim in enumerate(self.gat_layer_dim):
-            h = GraphAttentionLayer(out_dim, dropout=0.5,
+            h = GraphAttentionLayer(out_dim, dropout=self.attn_dropout,
+                                    fused=self.fused,
                                     name=f"gat{i}")(h, adj, train=train)
             h = nn.elu(h)
 

@@ -43,6 +43,7 @@ class STAGNN(nn.Module):
     output_dim: int
     num_heads: int
     threshold: float
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -50,11 +51,11 @@ class STAGNN(nn.Module):
         adj = covariance_threshold_graph(x, self.threshold)
 
         h = GCNLayer(self.hidden_dim, name="gcn1")(x, adj)
-        h = GAT(self.hidden_dim, self.num_heads, name="gat1")(
-            h, adj, train=train)
+        h = GAT(self.hidden_dim, self.num_heads, fused=self.fused,
+                name="gat1")(h, adj, train=train)
         h = GCNLayer(self.hidden_dim, name="gcn2")(h, adj)
-        h = GAT(self.hidden_dim, self.num_heads, name="gat2")(
-            h, adj, train=train)
+        h = GAT(self.hidden_dim, self.num_heads, fused=self.fused,
+                name="gat2")(h, adj, train=train)
 
         h = TemporalConvNet(self.hidden_dim, 2, name="tcn1")(h, train=train)
         h = MultiHeadTemporalEncoder(self.num_heads,

@@ -47,6 +47,7 @@ class STFA(nn.Module):
     encoder_hidden_dim: int
     num_heads: int
     dropout: float
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -58,6 +59,7 @@ class STFA(nn.Module):
         adj = prior_knowledge_graph(dtype=x.dtype)
         heads = [
             GraphAttentionLayer(self.output_dim, self.dropout,
+                                fused=self.fused,
                                 name=f"attention_{i}")(xp, adj, train=train)
             for i in range(self.num_heads)
         ]

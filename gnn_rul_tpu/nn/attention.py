@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from .basic import Linear, Dropout
 from .init import torch_linear_kernel, fan_in_bias
+from ..ops.edge_count import record_edges
 
 
 class GraphAttentionLayer(nn.Module):
@@ -31,11 +32,12 @@ class GraphAttentionLayer(nn.Module):
     # GAT_LSTM's copy adds leaky_relu on the output (models/GAT_LSTM/
     # Model.py:100); the STAGNN/STFA/GDAGDL copies return it raw.
     final_leaky_relu: bool = False
-    # Opt-in fused Pallas path (ops/pallas/fused_gat.py): keeps the
-    # (N, N) attention panel in VMEM. Only taken when attention dropout
-    # is inactive (eval, or dropout=0) — dropout needs the materialized
-    # panel anyway.
-    use_fused: bool = False
+    # Fused Pallas path (ops/pallas/fused_gat.py): keeps the (N, N)
+    # attention panel in VMEM. "auto" = measured N>=384 TPU crossover,
+    # "on" = force the kernel, "off" = plain XLA. Only taken when
+    # attention dropout is inactive (eval, or dropout=0) — dropout needs
+    # the materialized panel anyway.
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, h, adj, train: bool = False):
@@ -47,10 +49,11 @@ class GraphAttentionLayer(nn.Module):
         a2 = kernel[d:, 0]
         f1 = wh @ a1
         f2 = wh @ a2
-        if self.use_fused and (not train or self.dropout == 0.0):
+        record_edges(wh.shape[:-1] + (wh.shape[-2],))
+        if self.fused != "off" and (not train or self.dropout == 0.0):
             from ..ops.pallas.fused_gat import fused_gat_trainable
             out = fused_gat_trainable(wh, f1, f2, adj, bias[0],
-                                      self.negative_slope)
+                                      self.negative_slope, self.fused)
             if self.final_leaky_relu:
                 return jax.nn.leaky_relu(out, 0.01)
             return out
@@ -71,11 +74,13 @@ class GAT(nn.Module):
     out_features: int
     num_heads: int
     dropout: float = 0.0
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, adj, train: bool = False):
         heads = [
             GraphAttentionLayer(self.out_features, self.dropout,
+                                fused=self.fused,
                                 name=f"attention_{i}")(x, adj, train=train)
             for i in range(self.num_heads)
         ]

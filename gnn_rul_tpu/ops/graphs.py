@@ -23,6 +23,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .edge_count import record_edges
+
 
 def leaky_relu(x, negative_slope: float = 0.01):
     return jax.nn.leaky_relu(x, negative_slope)
@@ -39,6 +41,7 @@ def dot_graph_from_mapped(h: jnp.ndarray) -> jnp.ndarray:
     models/FC_STGNN/Model_Base.py:49-67 exactly.
     """
     n = h.shape[-2]
+    record_edges(h.shape[:-1] + (n,))
     eye = jnp.eye(n, dtype=h.dtype)
     sim = jnp.einsum("...nd,...md->...nm", h, h)
     sim = leaky_relu(sim - eye * 1e8)
@@ -64,6 +67,7 @@ def pearson_graph(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     in torch; we guard with ``eps`` in the denominator (the reference feeds
     MinMax-scaled sensor data where variance > 0).
     """
+    record_edges(x.shape[:-1] + (x.shape[-2],))
     xc = x - jnp.mean(x, axis=-1, keepdims=True)
     cov = jnp.einsum("...nl,...ml->...nm", xc, xc)
     var = jnp.sqrt(jnp.clip(jnp.einsum("...nl,...nl->...n", xc, xc), 0.0, None))
@@ -77,6 +81,7 @@ def cosine_graph(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     Reference models/HAGCN/Model.py:122-127 (F.cosine_similarity semantics:
     each norm is clamped below at eps).
     """
+    record_edges(x.shape[:-1] + (x.shape[-2],))
     norm = jnp.sqrt(jnp.sum(x * x, axis=-1))
     norm = jnp.maximum(norm, eps)
     sim = jnp.einsum("...nd,...md->...nm", x, x)
@@ -100,6 +105,7 @@ def gaussian_graph(x: jnp.ndarray) -> jnp.ndarray:
     precision. Memory is O(N^2 D) per sample — fine for the benchmark's
     small graphs (N <= ~300).
     """
+    record_edges(x.shape[:-1] + (x.shape[-2],))
     diff = x[..., :, None, :] - x[..., None, :, :]
     s = jnp.sum(diff * diff, axis=-1)
     # Safe sqrt: sqrt has an infinite derivative at 0 (the diagonal);
@@ -132,6 +138,7 @@ def covariance_threshold_graph(x: jnp.ndarray, threshold: float) -> jnp.ndarray:
     """Thresholded covariance adjacency over rows of ``(..., N, L)``
     (reference models/STAGNN/Model.py:197-204): ``A = (cov > threshold)``
     as float, where cov uses the unbiased row-covariance (torch.cov)."""
+    record_edges(x.shape[:-1] + (x.shape[-2],))
     xc = x - jnp.mean(x, axis=-1, keepdims=True)
     n = x.shape[-1]
     cov = jnp.einsum("...nl,...ml->...nm", xc, xc) / (n - 1)

@@ -124,10 +124,21 @@ def fused_gat_pallas(wh, f1, f2, adj, bias, slope, interpret: bool = False):
     return out[:, :n, :d]
 
 
-def fused_gat(wh, f1, f2, adj, bias, slope, use_pallas: bool = None):
+def fused_gat(wh, f1, f2, adj, bias, slope, use_pallas: bool = None,
+              mode: str = "auto"):
     """Dispatcher mirroring fused_gnn's measured crossovers: the VMEM
     fusion wins once the (N, N) attention panel no longer fits XLA's
-    fusion tiles (N >= 384 on v5e); below that XLA's batched path wins."""
+    fusion tiles (N >= 384 on v5e); below that XLA's batched path wins.
+
+    ``mode``: "auto" = that crossover (never Pallas off-TPU); "on" =
+    always the Pallas kernel (interpreter-mode off-TPU); "off" = jnp.
+    """
+    if mode == "off":
+        return fused_gat_reference(wh, f1, f2, adj, bias, slope)
+    if mode == "on":
+        interpret = jax.default_backend() in ("cpu", "gpu")
+        return fused_gat_pallas(wh, f1, f2, adj, bias, slope,
+                                interpret=interpret)
     if use_pallas is None:
         use_pallas = (jax.default_backend() not in ("cpu", "gpu")
                       and wh.shape[-2] >= 384)
@@ -136,20 +147,20 @@ def fused_gat(wh, f1, f2, adj, bias, slope, use_pallas: bool = None):
     return fused_gat_reference(wh, f1, f2, adj, bias, slope)
 
 
-@jax.custom_vjp
-def fused_gat_trainable(wh, f1, f2, adj, bias, slope):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_gat_trainable(wh, f1, f2, adj, bias, slope, mode: str = "auto"):
     """Differentiable fused op: Pallas forward on TPU at large N,
     jnp-recompute backward (rematerializing the chain is cheaper than
     saving the (B, N, N) attention panel)."""
-    return fused_gat(wh, f1, f2, adj, bias, slope)
+    return fused_gat(wh, f1, f2, adj, bias, slope, mode=mode)
 
 
-def _fwd(wh, f1, f2, adj, bias, slope):
-    return fused_gat(wh, f1, f2, adj, bias, slope), (wh, f1, f2, adj,
-                                                     bias, slope)
+def _fwd(wh, f1, f2, adj, bias, slope, mode):
+    return fused_gat(wh, f1, f2, adj, bias, slope, mode=mode), (
+        wh, f1, f2, adj, bias, slope)
 
 
-def _bwd(res, g):
+def _bwd(mode, res, g):
     wh, f1, f2, adj, bias, slope = res
     _, vjp = jax.vjp(fused_gat_reference, wh, f1, f2, adj, bias, slope)
     return vjp(g)

@@ -199,39 +199,54 @@ def fused_dot_graph_spmm_packed(h, x, mask, block_batch: int = 0,
     return out[:, :n, :f]
 
 
-def fused_dot_graph_spmm(h, x, mask, use_pallas: bool = None):
-    """Dispatch by measured crossovers (BASELINE.md roofline, v5e):
+def fused_dot_graph_spmm(h, x, mask, use_pallas: bool = None,
+                         mode: str = "auto"):
+    """Dispatch by measured crossovers (BASELINE.md roofline + the r3
+    end-to-end sweep, v5e):
 
-      - n <= 64:       packed Pallas (fills the 128-wide MXU tile)
-      - 64 < n < 384:  XLA batched-matmul path (wins at tile-aligned mid
-                       sizes; the adjacency still fits cache-friendly tiles)
-      - n >= 384:      per-sample Pallas (1.5-2.1x XLA — the (B, N, N)
-                       adjacency spill dominates the XLA path)
+      - n < 384:  XLA batched-matmul path. The packed kernel loses here
+        end-to-end too (FC_STGNN/FD001, N=28: 228k samples/s XLA vs 198k
+        packed) — XLA's fusion of many small batched matmuls beats one
+        packed MXU tile once the whole train step is compiled together.
+      - n >= 384: per-sample Pallas (1.5-2.1x XLA in the roofline sweep —
+        the (B, N, N) adjacency spill dominates the XLA path).
+
+    ``mode``: "auto" = the crossover table above (never Pallas off-TPU);
+    "on" = always the Pallas kernel (small n: packed variant;
+    interpreter-mode off-TPU, so the kernel logic is exercised in CPU
+    tests); "off" = pure-jnp XLA path.
     """
+    if mode == "off":
+        return fused_dot_graph_spmm_reference(h, x, mask)
+    n = h.shape[-2]
+    if mode == "on":
+        interpret = jax.default_backend() in ("cpu", "gpu")
+        if n <= 64:
+            return fused_dot_graph_spmm_packed(h, x, mask,
+                                               interpret=interpret)
+        return fused_dot_graph_spmm_pallas(h, x, mask, interpret=interpret)
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu", "gpu")
-    if use_pallas:
-        n = h.shape[-2]
-        if n <= 64:
-            return fused_dot_graph_spmm_packed(h, x, mask)
-        if n >= 384:
-            return fused_dot_graph_spmm_pallas(h, x, mask)
+    if use_pallas and n >= 384:
+        return fused_dot_graph_spmm_pallas(h, x, mask)
     return fused_dot_graph_spmm_reference(h, x, mask)
 
 
-@jax.custom_vjp
-def fused_dot_graph_spmm_trainable(h, x, mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_dot_graph_spmm_trainable(h, x, mask, mode: str = "auto"):
     """Differentiable fused op: Pallas forward on TPU, jnp-recompute
     backward (the chain is cheap to rematerialize; the win is the fused
     forward's HBM traffic)."""
-    return fused_dot_graph_spmm(h, x, mask)
+    from ..edge_count import record_edges
+    record_edges(h.shape[:-1] + (h.shape[-2],))
+    return fused_dot_graph_spmm(h, x, mask, mode=mode)
 
 
-def _fused_fwd(h, x, mask):
-    return fused_dot_graph_spmm(h, x, mask), (h, x, mask)
+def _fused_fwd(h, x, mask, mode):
+    return fused_dot_graph_spmm(h, x, mask, mode=mode), (h, x, mask)
 
 
-def _fused_bwd(res, g):
+def _fused_bwd(mode, res, g):
     h, x, mask = res
     _, vjp = jax.vjp(fused_dot_graph_spmm_reference, h, x, mask)
     return vjp(g)

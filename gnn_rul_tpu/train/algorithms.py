@@ -24,27 +24,33 @@ class AlgorithmSpec:
     aux_weight: Optional[str] = None
     # per-batch MultiStepLR([5,10,20,25], 0.5) (LOGO_bearing only).
     per_batch_multistep: bool = False
+    # Model exposes a ``fused={auto,on,off}`` constructor flag routing its
+    # hot op through the Pallas kernels (ops/pallas/). Only the models
+    # whose hot op is the full dot-graph+SpMM chain or a dense GAT panel
+    # qualify; LOGO/HierCorrPool consume the adjacency directly (fusion
+    # gate / cluster assignment), so an output-fused kernel cannot help.
+    supports_fused: bool = False
 
 
 # name -> (module under gnn_rul_tpu.models, class name, spec kwargs)
 _TABLE = {
-    "FC_STGNN": ("fc_stgnn", "FCSTGNN", {}),
+    "FC_STGNN": ("fc_stgnn", "FCSTGNN", {"supports_fused": True}),
     "HierCorrPool": ("hiercorrpool", "HierCorrPool", {}),
     "LOGO": ("logo", "LOGO", {"aux_weight": "theta"}),
     "ASTGCNN": ("astgcnn", "ASTGCNN", {}),
-    "STFA": ("stfa", "STFA", {}),
+    "STFA": ("stfa", "STFA", {"supports_fused": True}),
     "ST_Conv": ("st_conv", "STConv", {}),
     "HAGCN": ("hagcn", "HAGCN", {"aux_weight": "alpha"}),
     "RGCNU": ("rgcnu", "RGCNU", {"aux_weight": "__zero__"}),
-    "STAGNN": ("stagnn", "STAGNN", {}),
+    "STAGNN": ("stagnn", "STAGNN", {"supports_fused": True}),
     "DVGTformer": ("dvgtformer", "DVGTformer", {}),
     "GRU_CM": ("gru_cm", "GRUCM", {}),
     "STGNN": ("stgnn", "STGNN", {}),
     "SAGCN": ("sagcn", "SAGCN", {}),
     "STNet": ("stnet", "STNet", {"aux_weight": "__one__"}),
     "ST_GCN": ("st_gcn", "STGCN", {}),
-    "GAT_LSTM": ("gat_lstm", "GATLSTM", {}),
-    "GDAGDL": ("gdagdl", "GDAGDL", {"aux_weight": "__one__"}),
+    "GAT_LSTM": ("gat_lstm", "GATLSTM", {"supports_fused": True}),
+    "GDAGDL": ("gdagdl", "GDAGDL", {"aux_weight": "__one__", "supports_fused": True}),
     "STMSGCN": ("stmsgcn", "STMSGCN", {}),
     "AGCN_TF": ("agcn_tf", "AGCNTF", {}),
     "LOGO_bearing": ("logo_bearing", "LOGOBearing",

@@ -97,7 +97,10 @@ class Trainer:
                  checkpoint_every: int = 0,
                  mesh=None,
                  resume: bool = False,
-                 precision: str = "fp32"):
+                 precision: str = "fp32",
+                 fused: str = "auto",
+                 num_epochs_override: Optional[int] = None,
+                 profile_dir: Optional[str] = None):
         self.method = method
         self.dataset = dataset
         self.dataset_id = dataset_id
@@ -107,10 +110,14 @@ class Trainer:
         self.mesh = mesh
         self.resume = resume
         self.precision = precision
+        self.fused = fused
+        self.profile_dir = profile_dir
 
         self.dataset_config = get_dataset_config(dataset)
-        self.train_params = train_params or hparams_bank.train_params(
-            dataset, dataset_id, method)
+        self.train_params = dict(train_params or hparams_bank.train_params(
+            dataset, dataset_id, method))
+        if num_epochs_override:
+            self.train_params["num_epochs"] = int(num_epochs_override)
         self.model_hparams = model_hparams or hparams_bank.model_hparams(
             dataset, dataset_id, method)
         self.spec = get_algorithm_spec(method)
@@ -120,7 +127,10 @@ class Trainer:
         os.makedirs(self.exp_log_dir, exist_ok=True)
 
     def _build_engine(self, seed: int) -> Engine:
-        model = self.spec.model_cls(**self.model_hparams)
+        kwargs = dict(self.model_hparams)
+        if self.spec.supports_fused:
+            kwargs["fused"] = self.fused
+        model = self.spec.model_cls(**kwargs)
         return Engine(model, self.spec, self.train_params, seed=seed,
                       mesh=self.mesh, precision=self.precision)
 
@@ -167,6 +177,16 @@ class Trainer:
             engine = self._build_engine(seed=run_id)
             state = engine.init_state(self.data.train_x)
 
+            # Per-step observability (SURVEY §5 row 1): edges/sample is
+            # static per (method, hparams) — one abstract trace, reused
+            # every epoch for the edges/s counter.
+            try:
+                from ..ops.edge_count import edges_per_sample
+                eps_count = edges_per_sample(engine.model, self.data.train_x)
+            except Exception:
+                eps_count = 0
+            logger.debug(f"Edges per sample: {eps_count}")
+
             # Resume from a periodic checkpoint if present (a capability the
             # reference lacks — its only checkpoint is final, trainer.py:125).
             start_epoch = 1
@@ -185,14 +205,35 @@ class Trainer:
 
             num_epochs = int(self.train_params["num_epochs"])
             shuffle = self.dataset_config.shuffle
+            n_train = int(self.data.train_x.shape[0])
+            profiling = None
             for epoch in range(start_epoch, num_epochs + 1):
+                if self.profile_dir and epoch == start_epoch + 1:
+                    # Profile the 2nd epoch (the 1st pays compilation).
+                    # Fail-soft: remote-tunnel backends may not support
+                    # trace capture.
+                    import jax
+                    try:
+                        jax.profiler.start_trace(self.profile_dir)
+                        profiling = epoch
+                    except Exception as e:
+                        logger.debug(f"profiler unavailable: {e!r}")
+                        self.profile_dir = None
                 t0 = time.time()
                 state, loss = engine.run_epoch(
                     state, self.data.train_x, self.data.train_y, epoch,
                     shuffle=shuffle)
+                dt = time.time() - t0
+                if profiling == epoch:
+                    import jax
+                    jax.profiler.stop_trace()
+                    logger.debug(f"Profiler trace -> {self.profile_dir}")
+                    profiling = None
+                sps = n_train / max(dt, 1e-9)
                 logger.debug(f"[Epoch : {epoch}/{num_epochs}]")
-                logger.debug(f"loss\t: {loss:2.4f}\t"
-                             f"({time.time() - t0:.2f}s)")
+                logger.debug(f"loss\t: {loss:2.4f}\t({dt:.2f}s | "
+                             f"{sps:,.0f} samples/s | "
+                             f"{sps * eps_count:,.3g} edges/s)")
                 self._evaluate_and_track(engine, state, trackers, run_dir,
                                          logger)
                 logger.debug("-" * 37)

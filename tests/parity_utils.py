@@ -1,65 +1,19 @@
-"""Helpers for loading torch reference weights into flax param trees."""
+"""Helpers for torch-reference parity tests.
+
+The actual state_dict -> flax-variables mappings live in the package
+(gnn_rul_tpu.compat.torch_import) so users can import reference
+checkpoints; these tests consume that same single source of truth.
+"""
+
+import sys
 
 import numpy as np
 
-
-def t2n(t):
-    # COPY, not a view: .numpy() shares memory with the torch tensor, and
-    # jnp.asarray on CPU can be zero-copy — an in-place torch optimizer step
-    # would silently mutate the "imported" jax params.
-    return np.array(t.detach().cpu().numpy())
-
-
-def linear(sd, prefix):
-    """torch Linear -> flax Dense: kernel is W.T."""
-    out = {"kernel": t2n(sd[f"{prefix}.weight"]).T}
-    if f"{prefix}.bias" in sd:
-        out["bias"] = t2n(sd[f"{prefix}.bias"])
-    return out
-
-
-def conv1d(sd, prefix):
-    """torch Conv1d (out, in, k) -> flax Conv (k, in, out)."""
-    out = {"kernel": t2n(sd[f"{prefix}.weight"]).transpose(2, 1, 0)}
-    if f"{prefix}.bias" in sd:
-        out["bias"] = t2n(sd[f"{prefix}.bias"])
-    return out
-
-
-def bn_params(sd, prefix):
-    return {"scale": t2n(sd[f"{prefix}.weight"]),
-            "bias": t2n(sd[f"{prefix}.bias"])}
-
-
-def bn_stats(sd, prefix):
-    return {"mean": t2n(sd[f"{prefix}.running_mean"]),
-            "var": t2n(sd[f"{prefix}.running_var"])}
-
-
-def lstm_layer(sd, prefix, reverse=False):
-    """torch nn.LSTM single layer -> our LSTMLayer params.
-
-    torch: weight_ih_l0 (4H, D), weight_hh_l0 (4H, H), bias_ih/hh (4H,).
-    Ours: w_ih (D, 4H), w_hh (H, 4H), b_ih, b_hh. Gate order [i,f,g,o]
-    matches torch.
-    """
-    sfx = "_reverse" if reverse else ""
-    return {
-        "w_ih": t2n(sd[f"{prefix}.weight_ih_l0{sfx}"]).T,
-        "w_hh": t2n(sd[f"{prefix}.weight_hh_l0{sfx}"]).T,
-        "b_ih": t2n(sd[f"{prefix}.bias_ih_l0{sfx}"]),
-        "b_hh": t2n(sd[f"{prefix}.bias_hh_l0{sfx}"]),
-    }
-
-
-def gru_layer(sd, prefix, reverse=False):
-    sfx = "_reverse" if reverse else ""
-    return {
-        "w_ih": t2n(sd[f"{prefix}.weight_ih_l0{sfx}"]).T,
-        "w_hh": t2n(sd[f"{prefix}.weight_hh_l0{sfx}"]).T,
-        "b_ih": t2n(sd[f"{prefix}.bias_ih_l0{sfx}"]),
-        "b_hh": t2n(sd[f"{prefix}.bias_hh_l0{sfx}"]),
-    }
+# Re-exported for tests that hand-build partial mappings.
+from gnn_rul_tpu.compat.torch_import import (  # noqa: F401
+    t2n, linear, conv1d, conv2d, bn_params, bn_stats, lstm_layer, gru_layer,
+    bilstm_standard, tcn_params, tcn_stats, gat_layer, gat_heads,
+    import_torch_state_dict)
 
 
 def patch_torch_cuda():
@@ -67,3 +21,52 @@ def patch_torch_cuda():
     import torch
     torch.Tensor.cuda = lambda self, *a, **k: self
     torch.nn.Module.cuda = lambda self, *a, **k: self
+
+
+def load_reference_model(method, hp, ref_kwargs=None, seed=0):
+    """Build the mounted reference's model for ``method`` with torch init
+    seed ``seed``; returns the eval-mode torch module."""
+    import torch
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import importlib
+    mod = importlib.import_module(f"models.{method}.Model")
+    cls_name = "FC_STGNN_RUL" if method == "FC_STGNN" else f"{method}_model"
+    cls = getattr(mod, cls_name)
+    torch.manual_seed(seed)
+    ref = cls(**{**hp, **(ref_kwargs or {})})
+    ref.eval()
+    return ref
+
+
+def run_forward_parity(method, dataset, sub_id, x_shape, batch=3, seed=0,
+                       atol=5e-4, rtol=1e-3, ref_kwargs=None, fused=None):
+    """Full forward-parity check: same weights -> outputs allclose.
+
+    Builds the torch reference, imports its weights via the package-level
+    compat mapping, runs both forwards on the same input.
+    """
+    import torch
+    import jax.numpy as jnp
+    from gnn_rul_tpu.configs import hparams
+    from gnn_rul_tpu.train.algorithms import get_algorithm_spec
+
+    hp = hparams.model_hparams(dataset, sub_id, method)
+    ref = load_reference_model(method, hp, ref_kwargs=ref_kwargs)
+    variables = import_torch_state_dict(method, ref.state_dict(), hp)
+
+    spec = get_algorithm_spec(method)
+    kwargs = dict(hp)
+    if fused is not None and spec.supports_fused:
+        kwargs["fused"] = fused
+    ours = spec.model_cls(**kwargs)
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(batch,) + tuple(x_shape)).astype(np.float32)
+    with torch.no_grad():
+        out = ref(torch.tensor(x))
+        want = (out[0] if isinstance(out, tuple) else out).numpy()
+    got = ours.apply(variables, jnp.asarray(x), train=False)
+    got = np.asarray(got[0] if isinstance(got, tuple) else got)
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+    return ref, variables, x

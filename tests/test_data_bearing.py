@@ -12,6 +12,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gnn_rul_tpu import native
 from gnn_rul_tpu.data import phm2012, xjtu_sy
 

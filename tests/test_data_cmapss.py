@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gnn_rul_tpu.data.cmapss import preprocess_cmapss
 
 

@@ -7,6 +7,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from gnn_rul_tpu.data.ncmapss import (W_VARS, XS_VARS, preprocess_ncmapss,
                                       TRAIN_UNITS, TEST_UNITS)
 

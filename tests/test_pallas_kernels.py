@@ -110,7 +110,7 @@ def test_fused_gat_trainable_gradients():
 
 
 def test_gat_layer_fused_path_matches_jnp():
-    """GraphAttentionLayer(use_fused=True) == default path (eval mode)."""
+    """GraphAttentionLayer(fused="on") == plain-XLA path (eval mode)."""
     import jax
     from gnn_rul_tpu.nn.attention import GraphAttentionLayer
 
@@ -118,8 +118,8 @@ def test_gat_layer_fused_path_matches_jnp():
     h = jnp.asarray(rng.normal(size=(4, 14, 12)), jnp.float32)
     adj = jnp.asarray(rng.uniform(size=(4, 14, 14)) > 0.5, jnp.float32)
 
-    base = GraphAttentionLayer(16)
-    fused = GraphAttentionLayer(16, use_fused=True)
+    base = GraphAttentionLayer(16, fused="off")
+    fused = GraphAttentionLayer(16, fused="on")
     params = base.init(jax.random.PRNGKey(0), h, adj)
     want = np.asarray(base.apply(params, h, adj))
     got = np.asarray(fused.apply(params, h, adj))

@@ -6,6 +6,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -38,45 +40,14 @@ def ref_model():
 
 
 def _import_weights(sd):
-    """torch state_dict -> (params, batch_stats) for our FCSTGNN."""
-    params = {
-        "nonlin_map": {
-            "conv1": {"Conv_0": conv1d(sd, "nonlin_map.conv_block1.0")},
-            "bn1": {"BatchNorm1d_0": {"BatchNorm_0": bn_params(
-                sd, "nonlin_map.conv_block1.1")}},
-            "conv2": {"Conv_0": conv1d(sd, "nonlin_map.conv_block2.0")},
-            "bn2": {"BatchNorm1d_0": {"BatchNorm_0": bn_params(
-                sd, "nonlin_map.conv_block2.1")}},
-        },
-        "nonlin_map2": {"Dense_0": linear(sd, "nonlin_map2.0")},
-        "nonlin_map2_bn": {"BatchNorm_0": bn_params(sd, "nonlin_map2.1")},
-        "fc1": {"Dense_0": linear(sd, "fc.fc1")},
-        "fc2": {"Dense_0": linear(sd, "fc.fc2")},
-        "fc3": {"Dense_0": linear(sd, "fc.fc3")},
-        "fc4": {"Dense_0": linear(sd, "fc.fc4")},
-    }
-    batch_stats = {
-        "nonlin_map": {
-            "bn1": {"BatchNorm1d_0": {"BatchNorm_0": bn_stats(
-                sd, "nonlin_map.conv_block1.1")}},
-            "bn2": {"BatchNorm1d_0": {"BatchNorm_0": bn_stats(
-                sd, "nonlin_map.conv_block2.1")}},
-        },
-        "nonlin_map2_bn": {"BatchNorm_0": bn_stats(sd, "nonlin_map2.1")},
-    }
-    for i in (1, 2):
-        params[f"mpnn{i}"] = {
-            "graph_mapping": {"Dense_0": linear(
-                sd, f"MPNN{i}.graph_construction.mapping")},
-            "bn_in": {"BatchNorm_0": bn_params(sd, f"MPNN{i}.BN")},
-            "theta0": {"Dense_0": linear(sd, f"MPNN{i}.MPNN.theta.0")},
-            "bn_out": {"BatchNorm_0": bn_params(sd, f"MPNN{i}.MPNN.bn1")},
-        }
-        batch_stats[f"mpnn{i}"] = {
-            "bn_in": {"BatchNorm_0": bn_stats(sd, f"MPNN{i}.BN")},
-            "bn_out": {"BatchNorm_0": bn_stats(sd, f"MPNN{i}.MPNN.bn1")},
-        }
-    return params, batch_stats
+    """torch state_dict -> (params, batch_stats) for our FCSTGNN.
+
+    Thin wrapper over the package-level mapping
+    (gnn_rul_tpu.compat.torch_import) kept for the dependent
+    per-layer/training parity tests."""
+    from gnn_rul_tpu.compat import import_torch_state_dict
+    v = import_torch_state_dict("FC_STGNN", sd)
+    return v["params"], v["batch_stats"]
 
 
 def test_forward_parity(ref_model):
