@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one training epoch "
                         "into DIR (view with tensorboard/xprof)")
+    p.add_argument("--eval_torch_checkpoint", default=None, metavar="PT",
+                   help="skip training: import a reference checkpoint.pt "
+                        "(torch utils.py:111-120 format) via "
+                        "gnn_rul_tpu.compat and evaluate it on the test "
+                        "set (see MIGRATION.md)")
     return p
 
 
@@ -98,6 +103,12 @@ def main(argv=None):
         num_epochs_override=args.epochs or None,
         profile_dir=args.profile,
     )
+    if args.eval_torch_checkpoint:
+        from .compat import import_torch_checkpoint
+        variables = import_torch_checkpoint(
+            args.eval_torch_checkpoint, args.GNN_method,
+            dataset=args.dataset, dataset_id=args.dataset_id)
+        return trainer.evaluate_only(variables)
     results = trainer.train()
     return results
 

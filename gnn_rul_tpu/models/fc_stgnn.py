@@ -16,7 +16,7 @@ runs as batched MXU matmuls (see ops.fused for the Pallas path).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -47,6 +47,11 @@ class GraphConvPoolMPNN(nn.Module):
     # "auto" = measured Pallas/XLA dispatch, "on" = force the fused
     # Pallas kernel, "off" = plain XLA (ops/pallas/fused_gnn.py).
     fused: str = "auto"
+    # Aggregation strategy injection: a callable (h, nodes, mask) -> agg
+    # overriding the local path — e.g. partial(node_sharded_dot_graph_spmm
+    # _masked, mesh=mesh) to shard the space-time node axis over a device
+    # mesh (parallel/graph_partition.py). None = single-device paths.
+    spmm_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -63,7 +68,10 @@ class GraphConvPoolMPNN(nn.Module):
 
         nodes = BatchNorm1d(name="bn_in")(nodes, train=train)
 
-        if self.fused != "off":
+        if self.spmm_fn is not None:
+            # Node-sharded / ring engine (or any injected strategy).
+            agg = self.spmm_fn(h, nodes, mask=mask)
+        elif self.fused != "off":
             # Pallas path: graph construction + mask + aggregation fused.
             from ..ops.pallas.fused_gnn import fused_dot_graph_spmm_trainable
             agg = fused_dot_graph_spmm_trainable(h, nodes, mask, self.fused)
@@ -101,6 +109,7 @@ class FCSTGNN(nn.Module):
     stride: Tuple[int, int] = (1, 2)
     pe_dropout: float = 0.1
     fused: str = "auto"
+    spmm_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -129,11 +138,11 @@ class FCSTGNN(nn.Module):
         out1 = GraphConvPoolMPNN(
             self.hidden_dim, self.num_node, self.moving_window[0],
             self.stride[0], self.decay, fused=self.fused,
-            name="mpnn1")(enc, train=train)
+            spmm_fn=self.spmm_fn, name="mpnn1")(enc, train=train)
         out2 = GraphConvPoolMPNN(
             self.hidden_dim, self.num_node, self.moving_window[1],
             self.stride[1], self.decay, fused=self.fused,
-            name="mpnn2")(enc, train=train)
+            spmm_fn=self.spmm_fn, name="mpnn2")(enc, train=train)
 
         feats = jnp.concatenate(
             [out1.reshape(b, -1), out2.reshape(b, -1)], axis=-1)

@@ -232,11 +232,133 @@ def fused_dot_graph_spmm(h, x, mask, use_pallas: bool = None,
     return fused_dot_graph_spmm_reference(h, x, mask)
 
 
+def _bwd_kernel(n_valid_ref, h_ref, x_ref, mask_ref, g_ref,
+                dh_ref, dx_ref, dmask_ref):
+    """Fused backward: recompute S/P/A in VMEM (cheaper than spilling the
+    (B, N, N) residuals to HBM in the forward), then run the whole vjp
+    chain without leaving VMEM:
+
+        dx    = A^T g
+        dA    = g x^T;            dmask = (P + I) dA;   dP = dA mask
+        dZ    = P (dP - rowsum(dP P))        (softmax vjp per row)
+        dS    = dZ * leaky'(S - 1e8 I)
+        dh    = dS h + dS^T h
+    """
+    n_valid = n_valid_ref[0]
+    h = h_ref[0]          # (Np, Dp)
+    x = x_ref[0]          # (Np, Fp)
+    mask = mask_ref[:]    # (Np, Np)
+    g = g_ref[0]          # (Np, Fp)
+
+    np_, _ = h.shape
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (np_, np_), 1)
+    eye = (row_ids == col_ids).astype(jnp.float32)
+    col_valid = col_ids < n_valid
+    row_valid = row_ids < n_valid
+
+    # ---- forward recompute (all VMEM)
+    s = jax.lax.dot_general(
+        h, h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s_shift = s - eye * 1e8
+    z = jnp.where(col_valid, s_shift, -jnp.inf)
+    z = jnp.where(z >= 0, z, z * 0.01)  # leaky_relu keeps -inf at -inf
+    z_max = jnp.max(z, axis=-1, keepdims=True)
+    e = jnp.exp(z - z_max)
+    e = jnp.where(col_valid, e, 0.0)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    p = e / denom
+    a = (p + eye) * mask
+
+    # ---- backward chain
+    dx = jax.lax.dot_general(  # A^T g
+        a, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    da = jax.lax.dot_general(  # g x^T
+        g, x, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dmask = (p + eye) * da
+    dp = da * mask
+    # softmax vjp (rows); padding columns carry p == 0 so they drop out.
+    inner = jnp.sum(dp * p, axis=-1, keepdims=True)
+    dz = p * (dp - inner)
+    # leaky_relu' on the pre-activation (diagonal shifted to -1e8 -> 0.01
+    # branch, matching the reference chain exactly).
+    dslope = jnp.where(s_shift >= 0, 1.0, 0.01)
+    ds = jnp.where(col_valid, dz * dslope, 0.0)
+    # dh = dS h + dS^T h
+    dh = jax.lax.dot_general(
+        ds, h, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh = dh + jax.lax.dot_general(
+        ds, h, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dh_ref[0] = jnp.where(row_valid[:, :1], dh, 0.0).astype(dh_ref.dtype)
+    dx_ref[0] = jnp.where(row_valid[:, :1], dx, 0.0).astype(dx_ref.dtype)
+    dmask_ref[0] = jnp.where(
+        jnp.logical_and(row_valid, col_valid), dmask,
+        0.0).astype(dmask_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_dot_graph_spmm_bwd_pallas(h, x, mask, g, interpret: bool = False):
+    """Pallas fused backward. Returns (dh, dx, dmask_per_sample) where
+    dmask_per_sample is (B, N, N) — sum over B outside (cheap XLA
+    reduction) to get the (N, N) mask cotangent."""
+    b, n, d = h.shape
+    f = x.shape[-1]
+    np_ = _round_up(n, 128)
+    dp = _round_up(d, 128)
+    fp = _round_up(f, 128)
+
+    h_p = jnp.pad(h, ((0, 0), (0, np_ - n), (0, dp - d)))
+    x_p = jnp.pad(x, ((0, 0), (0, np_ - n), (0, fp - f)))
+    g_p = jnp.pad(g, ((0, 0), (0, np_ - n), (0, fp - f)))
+    mask_p = jnp.pad(mask, ((0, np_ - n), (0, np_ - n)))
+    n_valid = jnp.asarray([n], jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, np_, dp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, fp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((np_, np_), lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, fp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, np_, dp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, fp), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, np_), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    dh, dx, dmask = pl.pallas_call(
+        _bwd_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, np_, dp), h.dtype),
+            jax.ShapeDtypeStruct((b, np_, fp), x.dtype),
+            jax.ShapeDtypeStruct((b, np_, np_), mask.dtype),
+        ],
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(n_valid, h_p, x_p, mask_p, g_p)
+    return dh[:, :n, :d], dx[:, :n, :f], dmask[:, :n, :n]
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def fused_dot_graph_spmm_trainable(h, x, mask, mode: str = "auto"):
-    """Differentiable fused op: Pallas forward on TPU, jnp-recompute
-    backward (the chain is cheap to rematerialize; the win is the fused
-    forward's HBM traffic)."""
+    """Differentiable fused op: Pallas forward AND backward on TPU at
+    N >= 384 (both directions keep the (N, N) chain in VMEM); jnp
+    recompute backward elsewhere."""
     from ..edge_count import record_edges
     record_edges(h.shape[:-1] + (h.shape[-2],))
     return fused_dot_graph_spmm(h, x, mask, mode=mode)
@@ -246,8 +368,40 @@ def _fused_fwd(h, x, mask, mode):
     return fused_dot_graph_spmm(h, x, mask, mode=mode), (h, x, mask)
 
 
+def _use_pallas_bwd(mode, n):
+    # The backward kernel keeps ~6 live (Np, Np) fp32 buffers in VMEM
+    # (S, P, dA, dP, dZ, dmask); at Np=1024 that is ~26 MB > the 16 MB
+    # scoped-vmem limit (measured OOM on v5e), so the fused backward is
+    # bounded at N <= 512 (measured: 1.77x XLA fwd+bwd at B=100 N=512
+    # D=128). Larger graphs keep the Pallas forward + jnp backward.
+    if n > 512:
+        return False
+    if mode == "on":
+        return True
+    return (mode == "auto" and n >= 384
+            and jax.default_backend() not in ("cpu", "gpu"))
+
+
 def _fused_bwd(mode, res, g):
     h, x, mask = res
+    n = h.shape[-2]
+    if _use_pallas_bwd(mode, n):
+        interpret = jax.default_backend() in ("cpu", "gpu")
+        batched = h.ndim == 3
+        hb = h if batched else h[None]
+        xb = x if batched else x[None]
+        gb = g if batched else g[None]
+        dh, dx, dmask_b = fused_dot_graph_spmm_bwd_pallas(
+            hb, xb, jnp.broadcast_to(mask, (n, n)), gb,
+            interpret=interpret)
+        dmask = jnp.sum(dmask_b, axis=0)
+        if mask.ndim > 2:  # batched mask cotangent: no reduction
+            dmask = dmask_b.reshape(mask.shape)
+        elif mask.ndim < 2:
+            dmask = dmask.reshape(mask.shape)
+        if not batched:
+            dh, dx = dh[0], dx[0]
+        return dh, dx, dmask.astype(mask.dtype)
     _, vjp = jax.vjp(fused_dot_graph_spmm_reference, h, x, mask)
     return vjp(g)
 

@@ -20,12 +20,22 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def node_sharded_dot_graph_spmm(x, v, mesh, axis: str = "model"):
+def node_sharded_dot_graph_spmm(x, v, mesh, axis: str = "model",
+                                mask=None):
     """x: (B, N, D) similarity features; v: (B, N, F) values -> (B, N, F).
+
+    Optional ``mask`` (N, N): elementwise factor applied AFTER the
+    softmax(+I), i.e. ``out = ((softmax(leaky(x x^T - 1e8 I)) + I) * mask)
+    @ v`` — exactly the FC_STGNN decay-masked aggregation
+    (models/FC_STGNN/Model_Base.py:150-170,200-209) with ``x`` the mapped
+    graph features and ``v`` the raw node features.
 
     N must be divisible by the mesh axis size. Inputs may live anywhere;
     they are resharded so the node axis is split over ``axis``.
@@ -35,7 +45,7 @@ def node_sharded_dot_graph_spmm(x, v, mesh, axis: str = "model"):
     assert n % k == 0, f"N={n} not divisible by mesh axis {axis}={k}"
     blk = n // k
 
-    def local(x_blk, v_blk):
+    def local(x_blk, v_blk, *mask_blk):
         # x_blk: (B, N/k, D) — this device's node block.
         idx = jax.lax.axis_index(axis)
         row_offset = idx * blk
@@ -52,21 +62,30 @@ def node_sharded_dot_graph_spmm(x, v, mesh, axis: str = "model"):
         eye = (rows == cols).astype(s.dtype)
         s = jax.nn.leaky_relu(s - eye * 1e8, 0.01)
         a = jax.nn.softmax(s, axis=-1) + eye
+        if mask_blk:
+            a = a * mask_blk[0]  # (N/k, N) row block of the decay mask
 
         # Local SpMM over the full gathered values.
         return jnp.einsum("bnm,bmf->bnf", a, v_all)
 
+    in_specs = [P(None, axis, None), P(None, axis, None)]
+    args = [x, v]
+    if mask is not None:
+        in_specs.append(P(axis, None))
+        args.append(jnp.broadcast_to(mask, (n, n)))
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=P(None, axis, None),
     )
-    x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
-    v = jax.device_put(v, NamedSharding(mesh, P(None, axis, None)))
-    return sharded(x, v)
+    args[0] = jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(None, axis, None)))
+    args[1] = jax.lax.with_sharding_constraint(
+        v, NamedSharding(mesh, P(None, axis, None)))
+    return sharded(*args)
 
 
-def ring_dot_graph_spmm(x, v, mesh, axis: str = "model"):
+def ring_dot_graph_spmm(x, v, mesh, axis: str = "model", mask=None):
     """Ring-pipelined variant of :func:`node_sharded_dot_graph_spmm` with
     online (flash-attention-style) softmax.
 
@@ -93,7 +112,7 @@ def ring_dot_graph_spmm(x, v, mesh, axis: str = "model"):
     blk = n // k
     neg = jnp.asarray(-1e8, x.dtype)
 
-    def local(x_blk, v_blk):
+    def local(x_blk, v_blk, *mask_blk):
         idx = jax.lax.axis_index(axis)
         rows = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (blk, blk), 1)
@@ -124,12 +143,21 @@ def ring_dot_graph_spmm(x, v, mesh, axis: str = "model"):
             s = jnp.where(jnp.logical_and(on_diag_block, diag), s + neg, s)
             z = jax.nn.leaky_relu(s, 0.01)
 
-            # Online softmax update.
+            # Online softmax update. The softmax normalizer spans ALL
+            # columns (the decay mask multiplies AFTER softmax, reference
+            # Model_Base.py:203), so ``l`` accumulates unmasked weights
+            # while ``acc`` accumulates mask-weighted values.
             m_new = jnp.maximum(m, jnp.max(z, axis=-1, keepdims=True))
             p = jnp.exp(z - m_new)
             scale = jnp.exp(m - m_new)
+            if mask_blk:
+                mb = jax.lax.dynamic_slice_in_dim(
+                    mask_blk[0], src * blk, blk, axis=1)  # (N/k, N/k)
+                pv = p * mb
+            else:
+                pv = p
             acc = acc * scale + jnp.einsum(
-                "bnm,bmf->bnf", p, v_rot,
+                "bnm,bmf->bnf", pv, v_rot,
                 preferred_element_type=acc.dtype)
             l = l * scale + jnp.sum(p, axis=-1, keepdims=True)
             m = m_new
@@ -137,13 +165,27 @@ def ring_dot_graph_spmm(x, v, mesh, axis: str = "model"):
             if step + 1 < k:
                 x_rot, v_rot = x_nxt, v_nxt
 
-        return acc / l + v_blk  # "+ I" term of the reference adjacency
+        out = acc / l
+        # "+ I" term of the reference adjacency (masked when a mask is
+        # given: (P + I) * mask has diagonal mask_ii on the identity).
+        if mask_blk:
+            diag_offset = idx * blk
+            mdiag = jnp.diagonal(jax.lax.dynamic_slice_in_dim(
+                mask_blk[0], diag_offset, blk, axis=1))  # (N/k,)
+            return out + mdiag[None, :, None] * v_blk
+        return out + v_blk
 
+    in_specs = [P(None, axis, None), P(None, axis, None)]
+    args = [jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, axis, None))),
+            jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P(None, axis, None)))]
+    if mask is not None:
+        in_specs.append(P(axis, None))
+        args.append(jnp.broadcast_to(mask, (n, n)))
     sharded = shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None), P(None, axis, None)),
+        in_specs=tuple(in_specs),
         out_specs=P(None, axis, None),
     )
-    x = jax.device_put(x, NamedSharding(mesh, P(None, axis, None)))
-    v = jax.device_put(v, NamedSharding(mesh, P(None, axis, None)))
-    return sharded(x, v)
+    return sharded(*args)

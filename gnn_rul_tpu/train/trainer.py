@@ -159,6 +159,32 @@ class Trainer:
                 f"Testing, Score_v1: {b[0]}, Score_v2: {b[1]}, "
                 f"MAE: {b[2]}, RMSE: {b[3]}")
 
+    def evaluate_only(self, variables: Dict) -> Dict:
+        """Evaluate imported model variables (e.g. from
+        ``gnn_rul_tpu.compat.import_torch_checkpoint``) on the test set.
+
+        Returns {key_or_None: (Score_v1, Score_v2, MAE, RMSE)} and writes
+        the reference CSV/npz artifacts under the run directory.
+        """
+        from flax.core import FrozenDict
+        from .engine import TrainState
+
+        run_dir = os.path.join(self.exp_log_dir, f"{self.method}_eval")
+        os.makedirs(run_dir, exist_ok=True)
+        logger = _make_logger(run_dir, 0)
+        engine = self._build_engine(seed=0)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            opt_state=None, step=np.int32(0))
+        if self.data.is_dict_test:
+            trackers = {k: BestTracker(run_dir, key=k)
+                        for k in self.data.test}
+        else:
+            trackers = {None: BestTracker(run_dir)}
+        self._evaluate_and_track(engine, state, trackers, run_dir, logger)
+        return {k: t.best for k, t in trackers.items()}
+
     def train(self) -> Dict[int, Dict]:
         """Run all seeds; returns {run_id: {key_or_None: best 4-tuple}}."""
         all_results = {}

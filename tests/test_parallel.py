@@ -187,3 +187,67 @@ def test_node_sharded_graph_larger_axis():
     want = np.asarray(spmm(dot_graph(x), v))
     got = np.asarray(node_sharded_dot_graph_spmm(x, v, m, axis="data"))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_masked_engines_match_local_chain(mesh):
+    """node-sharded and ring engines with separate similarity features and
+    a decay mask == the local dot-graph+mask+SpMM chain."""
+    from gnn_rul_tpu.parallel.graph_partition import (
+        node_sharded_dot_graph_spmm, ring_dot_graph_spmm)
+    from gnn_rul_tpu.ops.pallas.fused_gnn import (
+        fused_dot_graph_spmm_reference)
+
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(3, 16, 6)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(3, 16, 5)), jnp.float32)
+    mask = jnp.asarray(rng.uniform(size=(16, 16)), jnp.float32)
+
+    want = fused_dot_graph_spmm_reference(h, v, mask)
+    got_ns = node_sharded_dot_graph_spmm(h, v, mesh, axis="model", mask=mask)
+    got_ring = ring_dot_graph_spmm(h, v, mesh, axis="model", mask=mask)
+    np.testing.assert_allclose(np.asarray(got_ns), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_ring), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fc_stgnn_through_sharded_graph_engine(mesh):
+    """FC_STGNN with its aggregation routed through the node-sharded graph
+    engine: forward AND backward must match the local model exactly
+    (same params, same batch). This is the graph-partition engine as a
+    model capability, not a raw-tensor primitive."""
+    import functools
+    from gnn_rul_tpu.parallel.graph_partition import (
+        node_sharded_dot_graph_spmm)
+    from gnn_rul_tpu.train.engine import mse
+
+    hp = hparams.model_hparams("CMAPSS", "FD001", "FC_STGNN")
+    spmm_fn = functools.partial(node_sharded_dot_graph_spmm, mesh=mesh,
+                                axis="model")
+    local = FCSTGNN(**hp, fused="off")
+    sharded = FCSTGNN(**hp, fused="off", spmm_fn=spmm_fn)
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(4, 14, 50)).astype(np.float32)
+    y = rng.uniform(size=(4, 1)).astype(np.float32)
+    variables = local.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(x), train=False)
+
+    def loss_fn(model, params):
+        out = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            jnp.asarray(x), train=False)
+        return mse(out, jnp.asarray(y))
+
+    l0, g0 = jax.value_and_grad(lambda p: loss_fn(local, p))(
+        variables["params"])
+    l1, g1 = jax.value_and_grad(lambda p: loss_fn(sharded, p))(
+        variables["params"])
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-4)
