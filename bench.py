@@ -12,6 +12,7 @@ samples/s (batch 100, forward+backward+Adam, torch 2.x, 2026-08-17).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import sys
 import time
@@ -20,6 +21,10 @@ TORCH_CPU_BASELINE_SAMPLES_PER_S = 1771.4
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -31,7 +36,7 @@ def main():
 
     batch = 100
     hp = hparams.model_hparams("CMAPSS", "FD001", "FC_STGNN")
-    model = FCSTGNN(**hp)
+    model = FCSTGNN(**hp, fused=args.fused)
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 14, 50)), jnp.float32)

@@ -115,7 +115,12 @@ class Engine:
         variables = self.model.init(
             {"params": init_rng, "dropout": init_rng}, x0, train=False)
         params = variables["params"]
-        batch_stats = variables.get("batch_stats", FrozenDict())
+        # Plain-dict batch_stats throughout: flax apply's mutable updates
+        # come back as plain dicts, and lax.scan requires carry-in/out
+        # pytree TYPES to match (a FrozenDict() placeholder for no-BN
+        # models like STGNN breaks the epoch scan).
+        from flax.core import unfreeze
+        batch_stats = unfreeze(variables.get("batch_stats", {}))
         opt_state = self.tx.init(params)
         return TrainState(params, batch_stats, opt_state,
                           jnp.asarray(0, jnp.int32))
@@ -177,8 +182,9 @@ class Engine:
                     mutable=["batch_stats"], rngs={"dropout": rng})
                 out = self._fp32_cast(out)
                 loss = self._loss_from_output(out, y)
-                new_bs = self._fp32_cast(
-                    updates.get("batch_stats", batch_stats))
+                from flax.core import unfreeze
+                new_bs = self._fp32_cast(unfreeze(
+                    updates.get("batch_stats", batch_stats)))
                 return loss, new_bs
 
             (loss, new_bs), grads = jax.value_and_grad(

@@ -137,3 +137,37 @@ def test_sinusoidal_encoding_matches_torch_reference():
     want[:, 1::2] = np.cos(position * div_term)
     got = np.asarray(encoding.sinusoidal_encoding(max_len, d_model, base=100.0))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_topk_mask_tie_divergence_quantified():
+    """topk_mask keeps threshold TIES (can exceed k), diverging from the
+    reference scatter (models/STGNN/Model.py:8-25) only when distinct
+    node pairs produce bit-identical Gaussian similarities. Quantify on
+    the actual STGNN input distribution: Gaussian-kernel graphs over
+    degradation-style patch features. On continuous float32 data ties are
+    absent, so the masks select exactly k entries per row — i.e. the
+    documented divergence has measure zero on the benchmark workloads."""
+    import jax.numpy as jnp
+    from gnn_rul_tpu.ops.graphs import gaussian_graph, topk_mask
+
+    rng = np.random.default_rng(0)
+    k = 4
+    # STGNN FD004-style patches: (B*T, N=14, patch) node features with
+    # drift + noise, like the CMAPSS windows the model actually sees.
+    base = rng.normal(size=(200, 14, 1))
+    feats = base + rng.normal(size=(200, 14, 10)) * 0.1
+    a = gaussian_graph(jnp.asarray(feats, jnp.float32))
+    mask = np.asarray(topk_mask(a, k))
+    per_row = mask.sum(axis=-1)
+    n_rows = per_row.size
+    rows_with_ties = int((per_row != k).sum())
+    # No ties on continuous data: every row keeps exactly k entries.
+    assert rows_with_ties == 0, (
+        f"{rows_with_ties}/{n_rows} rows kept !=k entries (ties)")
+
+    # Degenerate duplicated-node case (the only way to manufacture ties):
+    # behavior is the documented keep-all-tied superset of the scatter.
+    dup = jnp.asarray(np.repeat(feats[:1, :7], 2, axis=1), jnp.float32)
+    a_dup = gaussian_graph(dup)
+    m_dup = np.asarray(topk_mask(a_dup, k))
+    assert (m_dup.sum(axis=-1) >= k).all()

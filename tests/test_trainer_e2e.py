@@ -131,3 +131,28 @@ def test_load_reference_pt_artifacts(tmp_path):
     assert bundle.is_dict_test
     assert bundle.test[11.0][0].shape == (5, 14, 50)
     assert bundle.max_ruls == 125
+
+
+def test_engine_no_batchnorm_model():
+    """Models without BatchNorm (e.g. STGNN) must run through the scanned
+    epoch: the batch_stats carry must be an empty plain dict, not a
+    FrozenDict placeholder (lax.scan requires matching carry pytree types)."""
+    import numpy as np
+    from gnn_rul_tpu.configs import hparams
+    from gnn_rul_tpu.train.algorithms import get_algorithm_spec
+    from gnn_rul_tpu.train.engine import Engine
+
+    spec = get_algorithm_spec("STGNN")
+    hp = hparams.model_hparams("CMAPSS", "FD001", "STGNN")
+    tp = dict(hparams.train_params("CMAPSS", "FD001", "STGNN"))
+    tp["num_epochs"] = 1
+    tp["batch_size"] = 8
+    engine = Engine(spec.model_cls(**hp), spec, tp, seed=0)
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(20, 14, 50)).astype(np.float32)
+    y = rng.uniform(size=(20, 1)).astype(np.float32)
+    state = engine.init_state(x)
+    state, loss = engine.run_epoch(state, x, y, 1, shuffle=True)
+    assert np.isfinite(loss)
+    preds = engine.evaluate(state, x[:5])
+    assert np.all(np.isfinite(preds))
