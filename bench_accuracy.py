@@ -88,7 +88,8 @@ def make_data(kind, channels, length, data_seed=1234):
     return xtr, ytr, xte, yte
 
 
-def run_ours(method, dataset, sub_id, data, run_id, epochs=81):
+def run_ours(method, dataset, sub_id, data, run_id, epochs=81,
+             precision="fp32"):
     import jax
     from gnn_rul_tpu.configs import hparams
     from gnn_rul_tpu.train.algorithms import get_algorithm_spec
@@ -101,7 +102,7 @@ def run_ours(method, dataset, sub_id, data, run_id, epochs=81):
     tp = dict(hparams.train_params(dataset, sub_id, method))
     tp["num_epochs"] = epochs
     model = spec.model_cls(**hp)
-    engine = Engine(model, spec, tp, seed=run_id)
+    engine = Engine(model, spec, tp, seed=run_id, precision=precision)
     state = engine.init_state(xtr)
 
     best = None
@@ -170,6 +171,10 @@ def main():
     ap.add_argument("--runs-torch", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=81)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--precision", default="fp32",
+                    choices=["fp32", "bf16"],
+                    help="our-framework compute precision (torch side "
+                         "stays fp32)")
     args = ap.parse_args()
     sel = set(args.tiers.split(",")) if args.tiers else None
 
@@ -184,9 +189,10 @@ def main():
         ours = []
         for r in range(args.runs_ours):
             best, dt = run_ours(method, dataset, sub_id, data, r,
-                                args.epochs)
+                                args.epochs, precision=args.precision)
             ours.append(best)
-            print(json.dumps({"tier": tag, "fw": "ours", "run": r,
+            print(json.dumps({"tier": tag, "fw": "ours-" + args.precision,
+                              "run": r,
                               "best": [round(v, 4) for v in best],
                               "wall_s": round(dt, 1)}), flush=True)
         ref = []

@@ -15,6 +15,7 @@ import numpy as np
 from ..nn.basic import Linear
 from ..nn.gnn_blocks import MPNNmk
 from ..signal.features import sagcn_features
+from ..ops.edge_count import record_edges
 
 
 class SelfAttention(nn.Module):
@@ -48,9 +49,11 @@ class AGCNTF(nn.Module):
 
         # A_s: MLP over the transposed view -> (B, 40, 40);
         # A_t: MLP over features -> (B, T, T).
+        record_edges(x.shape[:-2] + (40, 40))
         a_s = Linear(40, name="spa_adj1")(jnp.tanh(
             Linear(self.hidden_adj_dim, name="spa_adj0")(
                 jnp.swapaxes(feats, -1, -2))))
+        record_edges(x.shape[:-2] + (self.num_patch, self.num_patch))
         a_t = Linear(self.num_patch, name="tem_adj1")(jnp.tanh(
             Linear(self.hidden_adj_dim, name="tem_adj0")(feats)))
 

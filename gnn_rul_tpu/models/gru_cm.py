@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from ..nn.basic import Linear, Dropout
 from ..nn.init import torch_linear_kernel, fan_in_bias
 from ..nn.recurrent import GRULayer
+from ..ops.edge_count import record_edges
 
 
 class GNNLayer(nn.Module):
@@ -32,6 +33,7 @@ class GNNLayer(nn.Module):
         # cat([x_i, x_j]) @ W = x_i @ W1 + x_j @ W2
         p1 = jnp.einsum("blnf,fo->blno", x, kernel[:f])
         p2 = jnp.einsum("blnf,fo->blno", x, kernel[f:])
+        record_edges(x.shape[:-1] + (x.shape[-2],))
         edge = nn.relu(p1[..., :, None, :] + p2[..., None, :, :] + bias)
         edge_sum = jnp.sum(edge, axis=3)  # sum over j
         node = jnp.concatenate([x, edge_sum], axis=-1)

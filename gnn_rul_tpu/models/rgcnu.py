@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..nn.basic import Linear, Conv1d, Dropout
 from ..nn.gnn_blocks import GCNLayer
 from ..nn.recurrent import LSTMLayer
+from ..ops.edge_count import record_edges
 
 
 class RGCNU(nn.Module):
@@ -39,6 +40,7 @@ class RGCNU(nn.Module):
         a2 = jnp.tanh(self.alpha * Linear(n, name="adj_theta2")(x))
         skew = (jnp.einsum("bnd,bmd->bnm", a1, a2)
                 - jnp.einsum("bnd,bmd->bnm", a2, a1))
+        record_edges(skew.shape)
         adj = nn.relu(jnp.tanh(self.alpha * skew))  # (B, N, N)
 
         # A.repeat(L,1,1) pairing: flat index k = b*L + l maps to A[k % B].

@@ -17,6 +17,7 @@ from ..nn.basic import Linear
 from ..nn.gnn_blocks import GCNLayer
 from ..nn.recurrent import GRULayer
 from ..signal.features import sed_features
+from ..ops.edge_count import record_edges
 
 
 class STMSGCN(nn.Module):
@@ -39,6 +40,7 @@ class STMSGCN(nn.Module):
 
         outputs = [h]
         for i, out_dim in enumerate(self.gcn_dims):
+            record_edges(h.shape[:-1] + (h.shape[-2],))
             adj = jnp.einsum("...nd,...md->...nm", h, h)
             h = GCNLayer(out_dim, name=f"gcn{i}")(h, adj)
             outputs.append(h)

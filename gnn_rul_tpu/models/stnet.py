@@ -17,6 +17,7 @@ from ..nn.basic import Linear, Conv2d, MLP
 from ..nn.gnn_blocks import ChebNet
 from ..nn.recurrent import LSTMLayer
 from ..signal.stft import stft_magnitude
+from ..ops.edge_count import record_edges
 
 
 class STNet(nn.Module):
@@ -46,6 +47,7 @@ class STNet(nn.Module):
         weights = Conv2d(1, (1, 1), name="cnn")(
             jnp.transpose(node_feats, (0, 3, 1, 2)))[:, 0]  # (B, T, N)
         high = (weights > 0.7).astype(x.dtype)
+        record_edges(high.shape + (high.shape[-1],))
         adj = high[..., :, None] * high[..., None, :]
         adj = jnp.clip(adj, None, 1.0)
 
