@@ -25,11 +25,15 @@ TIERS = [
     ("GAT_LSTM", "PHM2012", "Condition_1", (1, 2560)),
     ("LOGO_bearing", "PHM2012", "Condition_1", (1, 2560)),
     ("HierCorrPool_bearing", "PHM2012", "Condition_1", (1, 2560)),
-    # BASELINE tier 5 at true scale: XJTU-SY raw L=30768
-    # (reference configs/data_model_configs.py:43, hparams.py:326-434)
-    ("LOGO_bearing", "XJTU_SY", "Condition_1", (1, 30768)),
-    ("HierCorrPool_bearing", "XJTU_SY", "Condition_1", (1, 30768)),
-    ("GAT_LSTM", "XJTU_SY", "Condition_1", (1, 30768)),
+    # BASELINE tier 5 at true scale: XJTU-SY raw vibration snapshots.
+    # The reference config says sequence_len=30768
+    # (configs/data_model_configs.py:41) but that value is stale/unused:
+    # its preprocessor writes TIMESTEP=32768 rows
+    # (Data_Process/Data_read_XJTU_SY.py:20) and every XJTU model
+    # reshapes to num_patch*patch_size = 32768 (hparams.py:326-434).
+    ("LOGO_bearing", "XJTU_SY", "Condition_1", (1, 32768)),
+    ("HierCorrPool_bearing", "XJTU_SY", "Condition_1", (1, 32768)),
+    ("GAT_LSTM", "XJTU_SY", "Condition_1", (1, 32768)),
     # Scaled sensor-array config (N=256 -> 512-node window graphs): the
     # regime the per-sample fused Pallas kernel targets (N >= 384). Not a
     # reference tier — the scale row for the edges/s north star.

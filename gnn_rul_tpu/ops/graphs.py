@@ -90,6 +90,7 @@ def cosine_graph(x: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
 
 def pairwise_sq_dists(x: jnp.ndarray) -> jnp.ndarray:
     """Squared euclidean distances between rows: ``(..., N, D) -> (..., N, N)``."""
+    record_edges(x.shape[:-1] + (x.shape[-2],))
     sq = jnp.sum(x * x, axis=-1)
     inner = jnp.einsum("...nd,...md->...nm", x, x)
     d2 = sq[..., :, None] + sq[..., None, :] - 2.0 * inner

@@ -13,6 +13,9 @@ import sys
 
 import pytest
 
+# Real-chip subprocess check (~3.5 min through the tunnel): slow tier.
+pytestmark = pytest.mark.slow
+
 _CHECK = r"""
 import jax, jax.numpy as jnp
 if jax.default_backend() in ("cpu", "gpu"):

@@ -144,6 +144,7 @@ def test_ring_graph_matches_reference(mesh):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow  # 4-way ring + grad: ~70 s on the 2-CPU mesh
 def test_ring_graph_four_way_and_grad():
     """4-way ring: values AND gradients match the dense computation."""
     from gnn_rul_tpu.parallel.graph_partition import ring_dot_graph_spmm
