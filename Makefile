@@ -1,0 +1,19 @@
+# Developer entry points. The test split is documented in pytest.ini.
+
+.PHONY: test test-all native bench dryrun
+
+test:        ## fast suite (~5.5 min on this container's 2 CPUs)
+	python -m pytest -m "not slow" -q
+
+test-all:    ## full suite incl. torch-oracle parity + goldens (~30 min)
+	python -m pytest tests/ -q
+
+native:      ## build the C++ data runtime
+	$(MAKE) -C native
+
+bench:       ## single-chip flagship throughput (driver metric)
+	python bench.py
+
+dryrun:      ## multi-chip sharding compile/exec check on a virtual mesh
+	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"

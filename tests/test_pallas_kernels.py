@@ -175,3 +175,29 @@ def test_fused_trainable_grads_mode_on():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=1e-4)
+
+
+def test_fused_kernels_bf16_inputs():
+    """bf16 activations through the fused kernels (interpret mode): the
+    --precision bf16 path feeds bfloat16 h/x/g; accumulation stays fp32
+    (preferred_element_type), outputs cast back to the input dtype."""
+    import jax
+    from gnn_rul_tpu.ops.pallas.fused_gnn import (
+        fused_dot_graph_spmm_reference, fused_dot_graph_spmm_pallas,
+        fused_dot_graph_spmm_packed)
+
+    rng = np.random.default_rng(11)
+    h = jnp.asarray(rng.normal(size=(2, 12, 6)), jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(2, 12, 7)), jnp.bfloat16)
+    mask = jnp.asarray(rng.uniform(size=(12, 12)), jnp.bfloat16)
+
+    want = fused_dot_graph_spmm_reference(h, x, mask)
+    got_p = fused_dot_graph_spmm_pallas(h, x, mask, interpret=True)
+    got_k = fused_dot_graph_spmm_packed(h, x, mask, interpret=True)
+    assert got_p.dtype == jnp.bfloat16 and got_k.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got_p, np.float32), np.asarray(want, np.float32),
+        atol=0.15, rtol=0.1)  # bf16 mantissa
+    np.testing.assert_allclose(
+        np.asarray(got_k, np.float32), np.asarray(want, np.float32),
+        atol=0.15, rtol=0.1)
