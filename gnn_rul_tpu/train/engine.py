@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import FrozenDict
 
 
 from .algorithms import AlgorithmSpec, resolve_aux_weight
