@@ -1,8 +1,8 @@
 # Developer entry points. The test split is documented in pytest.ini.
 
-.PHONY: test test-all native bench dryrun
+.PHONY: test test-all native bench bench-check dryrun
 
-test:        ## fast suite (~5.5 min on this container's 2 CPUs)
+test:        ## fast suite (~7 min on this container's 2 CPUs)
 	python -m pytest -m "not slow" -q
 
 test-all:    ## full suite incl. torch-oracle parity + goldens (~30 min)
@@ -13,6 +13,9 @@ native:      ## build the C++ data runtime
 
 bench:       ## single-chip flagship throughput (driver metric)
 	python bench.py
+
+bench-check: ## fail if the flagship drops >5% vs the best in BENCH_HISTORY.jsonl
+	python bench.py --check
 
 dryrun:      ## multi-chip sharding compile/exec check on a virtual mesh
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 \

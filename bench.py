@@ -14,15 +14,71 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 TORCH_CPU_BASELINE_SAMPLES_PER_S = 1771.4
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+
+
+def record_history(result: dict, history_path: str = HISTORY_PATH) -> None:
+    """Append a dated, sha-stamped row to BENCH_HISTORY.jsonl (the
+    round-over-round perf log; see `--check`)."""
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(history_path), capture_output=True,
+            text=True, timeout=10).stdout.strip()
+    except Exception:
+        sha = ""
+    row = dict(result)
+    row["date"] = time.strftime("%Y-%m-%d %H:%M:%S")
+    row["git_sha"] = sha
+    import jax
+    row["backend"] = jax.default_backend()
+    with open(history_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+
+
+def check_against_history(result: dict, history_path: str = HISTORY_PATH,
+                          tolerance: float = 0.05) -> bool:
+    """True if the new value is within ``tolerance`` of the best recorded
+    value for the same metric on the same backend (a silent >5% regression
+    fails `make bench-check`)."""
+    import jax
+    backend = jax.default_backend()
+    best = 0.0
+    if os.path.exists(history_path):
+        with open(history_path) as f:
+            for line in f:
+                try:
+                    row = json.loads(line)
+                except ValueError:
+                    continue
+                if (row.get("metric") == result["metric"]
+                        and row.get("backend", backend) == backend):
+                    best = max(best, float(row.get("value", 0.0)))
+    if best <= 0.0:
+        return True
+    ratio = result["value"] / best
+    if ratio < 1.0 - tolerance:
+        print(f"REGRESSION: {result['value']:.0f} vs best recorded "
+              f"{best:.0f} ({ratio:.3f}x) in {history_path}",
+              file=sys.stderr)
+        return False
+    return True
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
+    ap.add_argument("--no-history", action="store_true",
+                    help="don't append this run to BENCH_HISTORY.jsonl")
+    ap.add_argument("--check", action="store_true",
+                    help="exit 1 if >5%% below the best recorded value")
     args = ap.parse_args()
 
     import jax
@@ -97,6 +153,13 @@ def main():
                              3),
     }
     print(json.dumps(result))
+    if not args.no_history:
+        try:
+            record_history(result)
+        except Exception as e:
+            print(f"history append failed: {e!r}", file=sys.stderr)
+    if args.check and not check_against_history(result):
+        sys.exit(1)
     return result
 
 

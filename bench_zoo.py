@@ -132,9 +132,30 @@ def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False,
         eps = edges_per_sample(model, np.zeros((2,) + shape, np.float32))
     except Exception:
         eps = 0
+
+    # MFU: XLA cost analysis of the WHOLE scanned train loop (fwd + bwd +
+    # Adam) divided by steps -> model FLOPs per optimizer step; utilization
+    # is measured throughput over the chip's peak for the compute dtype.
+    # (v5e: ~197 TFLOP/s bf16 MXU, ~49 TFLOP/s fp32.) The lowering hits the
+    # executable cache, so this costs no extra compile.
+    flops_per_step = 0.0
+    try:
+        cost = run.lower(params, batch_stats, opt_state,
+                         jax.random.PRNGKey(2)).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0)) / steps
+    except Exception:
+        pass
+    tflops = flops_per_step / dt / 1e12
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    peak_tflops = (196.7 if bf16 else 49.2) if on_tpu else None
+    mfu_pct = (100.0 * tflops / peak_tflops) if peak_tflops else None
     return dict(step_ms=dt * 1e3, samples_per_s=batch / dt,
                 edges_per_s=batch / dt * eps, edges_per_sample=eps,
-                compile_s=compile_s, loss=loss)
+                compile_s=compile_s, loss=loss,
+                flops_per_step=flops_per_step, tflops=round(tflops, 3),
+                mfu_pct=round(mfu_pct, 2) if mfu_pct is not None else None)
 
 
 def bench_torch(method, dataset, sub_id, shape, batch, steps=15):
@@ -178,6 +199,8 @@ def main():
                     help="Pallas fused-kernel mode for models that "
                          "support it")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--no-history", action="store_true",
+                    help="don't append rows to BENCH_HISTORY.jsonl")
     ap.add_argument("--dataset", default=None,
                     help="restrict tiers to one dataset")
     args = ap.parse_args()
@@ -206,6 +229,18 @@ def main():
             except Exception as e:
                 row["torch_error"] = repr(e)[:200]
         print(json.dumps(row), flush=True)
+        if "jax" in row and not args.no_history:
+            try:
+                from bench import record_history
+                tag = "bf16" if args.bf16 else "fp32"
+                record_history({
+                    "metric": f"zoo_{label}_{dataset}_{sub_id}_{tag}",
+                    "value": round(row["jax"]["samples_per_s"], 1),
+                    "unit": "samples/s",
+                    "mfu_pct": row["jax"].get("mfu_pct"),
+                })
+            except Exception as e:
+                print(f"history append failed: {e!r}", flush=True)
 
 
 if __name__ == "__main__":

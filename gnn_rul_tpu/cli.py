@@ -68,7 +68,7 @@ def parse_mesh_arg(spec: str):
     for part in spec.split(","):
         k, _, v = part.partition("=")
         k = k.strip()
-        if k not in sizes or not v.strip().isdigit():
+        if k not in sizes or not v.strip().isdigit() or int(v) < 1:
             raise ValueError(
                 f"bad --mesh component {part!r} (want data=N,model=M)")
         sizes[k] = int(v)
@@ -78,6 +78,12 @@ def parse_mesh_arg(spec: str):
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    # Join a multi-process job when the launcher exported GNNRUL_COORDINATOR
+    # / GNNRUL_NUM_PROCESSES / GNNRUL_PROCESS_ID (must happen before the
+    # first device query). Single-process runs are untouched.
+    from .parallel.multihost import initialize_from_env
+    distributed = initialize_from_env()
+
     from .data.loader import load_dataset, resolve_data_path
     from .train.trainer import Trainer
 
@@ -85,6 +91,11 @@ def main(argv=None):
                                   args.dataset_id, args.bearing_id)
     data = load_dataset(data_path)
     mesh = parse_mesh_arg(args.mesh) if args.mesh else None
+    if distributed and mesh is None:
+        # Default multi-process layout: pure data parallelism over every
+        # chip in the job.
+        from .parallel.mesh import make_mesh
+        mesh = make_mesh()
 
     trainer = Trainer(
         method=args.GNN_method,

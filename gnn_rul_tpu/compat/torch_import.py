@@ -576,7 +576,15 @@ def import_torch_checkpoint(path: str, method: str,
     """Load a reference ``checkpoint.pt`` (utils.py:111-120 format:
     {"configs", "hparams", "model_dict"}) and return flax variables."""
     import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    # The checkpoint payload we need (model_dict) is plain tensors, so the
+    # safe loader works for well-formed reference checkpoints; fall back to
+    # full unpickling only when the file carries non-tensor objects (the
+    # reference stores its config objects alongside, utils.py:111-120) —
+    # the caller is explicitly asking to import that file.
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model_dict", ckpt) if isinstance(ckpt, dict) else ckpt
     return import_torch_state_dict(method, sd, model_hparams=model_hparams,
                                    dataset=dataset, dataset_id=dataset_id)

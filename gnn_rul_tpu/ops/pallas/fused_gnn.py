@@ -385,20 +385,19 @@ def _use_pallas_bwd(mode, n):
 def _fused_bwd(mode, res, g):
     h, x, mask = res
     n = h.shape[-2]
-    if _use_pallas_bwd(mode, n):
+    # The Pallas backward handles exactly the shared-(N, N)-mask layout the
+    # one in-tree caller (FC_STGNN's decay mask) uses; a batched (B, N, N)
+    # mask would need a per-sample mask feed into the kernel, so any other
+    # rank takes the jnp recompute VJP instead.
+    if mask.ndim == 2 and _use_pallas_bwd(mode, n):
         interpret = jax.default_backend() in ("cpu", "gpu")
         batched = h.ndim == 3
         hb = h if batched else h[None]
         xb = x if batched else x[None]
         gb = g if batched else g[None]
         dh, dx, dmask_b = fused_dot_graph_spmm_bwd_pallas(
-            hb, xb, jnp.broadcast_to(mask, (n, n)), gb,
-            interpret=interpret)
+            hb, xb, mask, gb, interpret=interpret)
         dmask = jnp.sum(dmask_b, axis=0)
-        if mask.ndim > 2:  # batched mask cotangent: no reduction
-            dmask = dmask_b.reshape(mask.shape)
-        elif mask.ndim < 2:
-            dmask = dmask.reshape(mask.shape)
         if not batched:
             dh, dx = dh[0], dx[0]
         return dh, dx, dmask.astype(mask.dtype)

@@ -30,11 +30,17 @@ class AlgorithmSpec:
     # qualify; LOGO/HierCorrPool consume the adjacency directly (fusion
     # gate / cluster assignment), so an output-fused kernel cannot help.
     supports_fused: bool = False
+    # Model exposes a ``spmm_fn`` constructor hook: its graph aggregation
+    # can be routed through the node-sharded engine
+    # (parallel.graph_partition) to split the dense (N, N) algebra over
+    # the mesh's 'model' axis.
+    supports_spmm_fn: bool = False
 
 
 # name -> (module under gnn_rul_tpu.models, class name, spec kwargs)
 _TABLE = {
-    "FC_STGNN": ("fc_stgnn", "FCSTGNN", {"supports_fused": True}),
+    "FC_STGNN": ("fc_stgnn", "FCSTGNN",
+                 {"supports_fused": True, "supports_spmm_fn": True}),
     "HierCorrPool": ("hiercorrpool", "HierCorrPool", {}),
     "LOGO": ("logo", "LOGO", {"aux_weight": "theta"}),
     "ASTGCNN": ("astgcnn", "ASTGCNN", {}),

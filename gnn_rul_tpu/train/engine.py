@@ -75,7 +75,8 @@ class Engine:
 
     def __init__(self, model, spec: AlgorithmSpec, train_params: Dict,
                  seed: int = 0, eval_batch_size: Optional[int] = None,
-                 mesh=None, precision: str = "fp32"):
+                 mesh=None, precision: str = "fp32",
+                 tp_min_dim: int = 256):
         self.model = model
         self.spec = spec
         self.train_params = dict(train_params)
@@ -92,9 +93,21 @@ class Engine:
         assert precision in ("fp32", "bf16"), precision
         self.precision = precision
         # Optional (data, model) mesh: batches get sharded over 'data'
-        # inside the jitted steps (XLA inserts the gradient psum). Only
-        # applied when the batch divides the data-axis size.
+        # inside the jitted steps (XLA inserts the gradient psum; uneven
+        # batches — drop_last=False remainders — are handled by GSPMD's
+        # internal padding). model>1 additionally shards large kernels
+        # (last-dim >= tp_min_dim) over 'model' at init. The mesh may span
+        # multiple PROCESSES (parallel.multihost): data is then fed
+        # per-process via make_array_from_process_local_data and the same
+        # jitted steps run SPMD with cross-host collectives.
         self.mesh = mesh
+        self.tp_min_dim = tp_min_dim
+        if mesh is not None:
+            from ..parallel.multihost import is_multiprocess_mesh
+            self._multiprocess = is_multiprocess_mesh(mesh)
+        else:
+            self._multiprocess = False
+        self._data_cache: Dict[Tuple, Tuple] = {}
 
         lr = float(train_params["learning_rate"])
         wd = float(train_params.get("weight_decay", 0.0))
@@ -120,9 +133,35 @@ class Engine:
         # models like STGNN breaks the epoch scan).
         from flax.core import unfreeze
         batch_stats = unfreeze(variables.get("batch_stats", {}))
+        if self.mesh is not None:
+            # Place state on the mesh explicitly: large kernels sharded
+            # over 'model' (tensor parallelism), everything else
+            # replicated. In multi-process jobs every process computed
+            # identical init values (same seed), so assembling the global
+            # arrays needs no communication.
+            from ..parallel.mesh import param_sharding_rule
+            from ..parallel.multihost import put_global
+            rule = param_sharding_rule(self.mesh, self.tp_min_dim)
+            params = jax.tree_util.tree_map(
+                lambda leaf: put_global(leaf, self.mesh, rule(leaf)), params)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            repl = NamedSharding(self.mesh, P())
+            batch_stats = jax.tree_util.tree_map(
+                lambda leaf: put_global(leaf, self.mesh, repl), batch_stats)
         opt_state = self.tx.init(params)
         return TrainState(params, batch_stats, opt_state,
                           jnp.asarray(0, jnp.int32))
+
+    def tp_sharded_param_count(self, params) -> int:
+        """Number of parameter leaves actually sharded over the 'model'
+        axis (0 when tensor parallelism has no effect for this model)."""
+        if self.mesh is None or self.mesh.shape.get("model", 1) <= 1:
+            return 0
+        from ..parallel.mesh import param_sharding_rule
+        from jax.sharding import PartitionSpec as P
+        rule = param_sharding_rule(self.mesh, self.tp_min_dim)
+        return sum(int(rule(leaf).spec != P())
+                   for leaf in jax.tree_util.tree_leaves(params))
 
     # ------------------------------------------------------------ train step
 
@@ -137,8 +176,11 @@ class Engine:
         return loss
 
     def _shard_batch(self, x):
-        if self.mesh is None or x.shape[0] % self.mesh.shape["data"] != 0:
+        if self.mesh is None:
             return x
+        # Uneven batches (drop_last=False remainder, reference
+        # dataloader.py:79) shard fine: GSPMD pads the ragged shard
+        # internally, so the remainder step trains data-parallel too.
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = P("data", *([None] * (x.ndim - 1)))
         return jax.lax.with_sharding_constraint(
@@ -249,6 +291,30 @@ class Engine:
 
         return run_epoch
 
+    # ------------------------------------------------------------------ data
+
+    def _device_data(self, x_train, y_train):
+        """Device-resident training arrays, uploaded once per dataset.
+
+        Single-process: a cached ``jnp.asarray`` (saves a full-dataset H2D
+        per epoch). Multi-process: globally row-sharded arrays where each
+        process uploads only its own slice (rows padded to a shard
+        boundary; batch-index permutations run over the real length, so
+        padding is never read).
+        """
+        key = (id(x_train), id(y_train))
+        if key not in self._data_cache:
+            if self._multiprocess:
+                from ..parallel.multihost import shard_host_rows
+                xd = shard_host_rows(np.asarray(x_train), self.mesh)
+                yd = shard_host_rows(np.asarray(y_train), self.mesh)
+            else:
+                xd = jnp.asarray(x_train)
+                yd = jnp.asarray(y_train)
+            # Keep only the latest dataset resident.
+            self._data_cache = {key: (xd, yd)}
+        return self._data_cache[key]
+
     # ------------------------------------------------------------------- fit
 
     def run_epoch(self, state: TrainState, x_train, y_train, epoch: int,
@@ -260,8 +326,7 @@ class Engine:
         n = x_train.shape[0]
         (epoch_fn, rem_fn), n_full, rem = self._get_epoch_fns(n)
 
-        x_all = jnp.asarray(x_train)
-        y_all = jnp.asarray(y_train)
+        x_all, y_all = self._device_data(x_train, y_train)
 
         if shuffle:
             perm_rng = jax.random.fold_in(
@@ -310,7 +375,14 @@ class Engine:
                 return None, pred.reshape(-1).astype(jnp.float32)
 
             _, preds = jax.lax.scan(body, None, jnp.arange(n_batches))
-            return preds.reshape(-1)
+            preds = preds.reshape(-1)
+            if self.mesh is not None:
+                # Fully-replicated output: every process can read the whole
+                # prediction vector with np.asarray (metrics run on host).
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                preds = jax.lax.with_sharding_constraint(
+                    preds, NamedSharding(self.mesh, P()))
+            return preds
 
         self._eval_cache[key] = eval_all
         return eval_all
@@ -331,5 +403,10 @@ class Engine:
         else:
             x_pad = x_test
         eval_fn = self._get_eval_fn(n_batches, ebs)
-        preds = eval_fn(state.params, state.batch_stats, jnp.asarray(x_pad))
+        if self._multiprocess:
+            from ..parallel.multihost import replicate_host_array
+            x_dev = replicate_host_array(np.asarray(x_pad), self.mesh)
+        else:
+            x_dev = jnp.asarray(x_pad)
+        preds = eval_fn(state.params, state.batch_stats, x_dev)
         return np.asarray(preds[:n])

@@ -28,23 +28,29 @@ from ..data.loader import DataBundle
 from .algorithms import get_algorithm_spec
 from .engine import Engine
 from .metrics import calc_metrics
-from .checkpoint import save_checkpoint
+from .checkpoint import AsyncCheckpointer, save_checkpoint
 
 METRIC_NAMES = ("Score_v1", "Score_v2", "MAE", "RMSE")
 
 
-def _make_logger(log_dir: str, run_id: int) -> logging.Logger:
-    os.makedirs(log_dir, exist_ok=True)
+def _make_logger(log_dir: str, run_id: int,
+                 write: bool = True) -> logging.Logger:
+    """Per-run logger. ``write=False`` (non-main processes in a multi-host
+    job) returns a silent logger — log files and stdout are host-0-only."""
     name = os.path.join(log_dir, f"logs_run_{run_id}.log")
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)
     logger.handlers.clear()
+    logger.propagate = False
+    if not write:
+        logger.addHandler(logging.NullHandler())
+        return logger
+    os.makedirs(log_dir, exist_ok=True)
     fmt = logging.Formatter("%(message)s")
     for handler in (logging.StreamHandler(sys.stdout),
                     logging.FileHandler(name, mode="a")):
         handler.setFormatter(fmt)
         logger.addHandler(handler)
-    logger.propagate = False
     return logger
 
 
@@ -52,9 +58,13 @@ class BestTracker:
     """Best-RMSE row tracking with the reference CSV schema
     (trainer.py:196-262)."""
 
-    def __init__(self, save_path: str, key: Optional[Any] = None):
+    def __init__(self, save_path: str, key: Optional[Any] = None,
+                 write_artifacts: bool = True):
         self.rows = []  # list of 4-tuples
         self.save_path = save_path
+        # Host-0-only artifact writes in multi-host jobs; tracking state
+        # stays consistent on every process.
+        self.write_artifacts = write_artifacts
         # Reference converts float keys (N-CMAPSS unit ids) to int in
         # artifact names (trainer.py:214-217).
         if isinstance(key, float):
@@ -65,10 +75,12 @@ class BestTracker:
         improved = not self.rows or metrics[3] < self.rows[-1][3]
         if improved:
             self.rows.append(tuple(metrics))
-            tag = f"{self.key}_" if self.key is not None else ""
-            np.savez(os.path.join(self.save_path, f"{tag}results.npz"),
-                     pre=preds, real=reals, max_rul=max_rul)
-        self._write_csv()
+            if self.write_artifacts:
+                tag = f"{self.key}_" if self.key is not None else ""
+                np.savez(os.path.join(self.save_path, f"{tag}results.npz"),
+                         pre=preds, real=reals, max_rul=max_rul)
+        if self.write_artifacts:
+            self._write_csv()
         return improved
 
     def _write_csv(self):
@@ -122,17 +134,49 @@ class Trainer:
             dataset, dataset_id, method)
         self.spec = get_algorithm_spec(method)
 
+        # Host-0-only artifacts in multi-host jobs (SURVEY §5: host-0-only
+        # logging; the reference is single-process).
+        from ..parallel.multihost import is_main_process
+        self.is_main = is_main_process()
+
         self.exp_log_dir = os.path.join(save_dir, experiment_description,
                                         run_description)
-        os.makedirs(self.exp_log_dir, exist_ok=True)
+        if self.is_main:
+            os.makedirs(self.exp_log_dir, exist_ok=True)
 
     def _build_engine(self, seed: int) -> Engine:
         kwargs = dict(self.model_hparams)
         if self.spec.supports_fused:
             kwargs["fused"] = self.fused
-        model = self.spec.model_cls(**kwargs)
-        return Engine(model, self.spec, self.train_params, seed=seed,
-                      mesh=self.mesh, precision=self.precision)
+        n_model = (self.mesh.shape.get("model", 1)
+                   if self.mesh is not None else 1)
+        if n_model > 1 and self.spec.supports_spmm_fn:
+            # Route the model's graph aggregation through the node-sharded
+            # engine: the dense (N, N) space-time graph algebra splits over
+            # the 'model' axis (all-gather of node features, local SDDMM/
+            # softmax/SpMM panels).
+            import functools
+            from ..parallel.graph_partition import node_sharded_dot_graph_spmm
+            kwargs["spmm_fn"] = functools.partial(
+                node_sharded_dot_graph_spmm, mesh=self.mesh, axis="model")
+        return Engine(self.spec.model_cls(**kwargs), self.spec,
+                      self.train_params, seed=seed, mesh=self.mesh,
+                      precision=self.precision)
+
+    def _check_model_axis(self, engine: Engine, state) -> None:
+        """Reject an inert ``model`` axis: if neither the spmm hook nor
+        tensor-parallel param sharding applies, model>1 would silently be
+        pure replication — raise instead of pretending to scale."""
+        n_model = (self.mesh.shape.get("model", 1)
+                   if self.mesh is not None else 1)
+        if n_model <= 1 or self.spec.supports_spmm_fn:
+            return
+        if engine.tp_sharded_param_count(state.params) == 0:
+            raise ValueError(
+                f"--mesh model={n_model} has no effect for {self.method}: "
+                f"no kernel is wide enough to shard (tp_min_dim="
+                f"{engine.tp_min_dim}) and the model has no spmm_fn hook. "
+                f"Use model=1 (pure data parallelism) instead.")
 
     def _evaluate_and_track(self, engine, state, trackers, run_dir, logger):
         if self.data.is_dict_test:
@@ -188,11 +232,13 @@ class Trainer:
     def train(self) -> Dict[int, Dict]:
         """Run all seeds; returns {run_id: {key_or_None: best 4-tuple}}."""
         all_results = {}
+        ckptr = AsyncCheckpointer()
         for run_id in range(self.num_runs):
             run_dir = os.path.join(self.exp_log_dir,
                                    f"{self.method}_run_{run_id}")
-            os.makedirs(run_dir, exist_ok=True)
-            logger = _make_logger(run_dir, run_id)
+            if self.is_main:
+                os.makedirs(run_dir, exist_ok=True)
+            logger = _make_logger(run_dir, run_id, write=self.is_main)
             logger.debug("=" * 45)
             logger.debug(f"Dataset: {self.dataset}")
             logger.debug(f"Sub-dataset ID: {self.dataset_id}")
@@ -202,6 +248,7 @@ class Trainer:
 
             engine = self._build_engine(seed=run_id)
             state = engine.init_state(self.data.train_x)
+            self._check_model_axis(engine, state)
 
             # Per-step observability (SURVEY §5 row 1): edges/sample is
             # static per (method, hparams) — one abstract trace, reused
@@ -224,10 +271,12 @@ class Trainer:
                 logger.debug(f"Resumed from epoch {start_epoch - 1}")
 
             if self.data.is_dict_test:
-                trackers = {k: BestTracker(run_dir, key=k)
+                trackers = {k: BestTracker(run_dir, key=k,
+                                           write_artifacts=self.is_main)
                             for k in self.data.test}
             else:
-                trackers = {None: BestTracker(run_dir)}
+                trackers = {None: BestTracker(run_dir,
+                                              write_artifacts=self.is_main)}
 
             num_epochs = int(self.train_params["num_epochs"])
             shuffle = self.dataset_config.shuffle
@@ -263,15 +312,21 @@ class Trainer:
                 self._evaluate_and_track(engine, state, trackers, run_dir,
                                          logger)
                 logger.debug("-" * 37)
-                if (self.checkpoint_every
+                if (self.is_main and self.checkpoint_every
                         and epoch % self.checkpoint_every == 0):
-                    save_checkpoint(
+                    # Async: D2H + pickle + atomic write happen off-thread;
+                    # the epoch loop never blocks on checkpoint IO.
+                    ckptr.save(
                         os.path.join(run_dir, "checkpoint.pkl"), state,
                         extra={"epoch": epoch, "run_id": run_id})
 
-            save_checkpoint(os.path.join(run_dir, "checkpoint.pkl"), state,
-                            extra={"epoch": num_epochs, "run_id": run_id,
-                                   "hparams": dict(self.model_hparams),
-                                   "train_params": dict(self.train_params)})
+            if self.is_main:
+                ckptr.wait()
+                save_checkpoint(
+                    os.path.join(run_dir, "checkpoint.pkl"), state,
+                    extra={"epoch": num_epochs, "run_id": run_id,
+                           "hparams": dict(self.model_hparams),
+                           "train_params": dict(self.train_params)})
             all_results[run_id] = {k: t.best for k, t in trackers.items()}
+        ckptr.close()
         return all_results

@@ -1,0 +1,98 @@
+"""Multi-process (multi-host) execution path.
+
+Launches a REAL 2-process CPU job (the no-pod recipe: 2 × 4 virtual CPU
+devices form an 8-device global mesh with Gloo collectives), trains the
+flagship model through the ordinary Trainer, and asserts:
+
+  - both processes agree exactly on the resulting metrics (SPMD: the jitted
+    computation is global, outputs are replicated);
+  - only host 0 wrote artifacts (CSV/npz/checkpoint/logs);
+  - the multi-process result matches a single-process run on the same
+    8-device mesh with identical data (the distributed path changes the
+    execution, not the math).
+
+The reference has no distributed anything (SURVEY §2.6) — this is the
+new-capability axis.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch_worker(pid, nproc, port, outdir, devices_per_proc=4):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    return subprocess.Popen(
+        [sys.executable, "-m", "gnn_rul_tpu.parallel._dist_worker",
+         "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
+         "--outdir", outdir],
+        cwd=REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def test_two_process_training(tmp_path):
+    outdir = str(tmp_path)
+    port = _free_port()
+    procs = [_launch_worker(pid, 2, port, outdir) for pid in (0, 1)]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    r0 = json.load(open(os.path.join(outdir, "result_p0.json")))
+    r1 = json.load(open(os.path.join(outdir, "result_p1.json")))
+
+    # A real 2-process job formed: 8 global devices, 4 local each.
+    assert r0["process_count"] == 2 and r1["process_count"] == 2
+    assert r0["global_devices"] == 8
+    assert r0["local_devices"] == 4
+    assert r0["process_index"] == 0 and r1["process_index"] == 1
+
+    # Every process computed the same (replicated) results.
+    b0 = np.asarray(r0["best"]["None"])
+    b1 = np.asarray(r1["best"]["None"])
+    np.testing.assert_allclose(b0, b1, rtol=1e-6)
+
+    # Host-0-only artifacts: p0's tree has CSV + npz + checkpoint + log;
+    # p1 wrote nothing at all.
+    run_dir = os.path.join(outdir, "artifacts_p0", "dist", "run",
+                           "FC_STGNN_run_0")
+    for fname in ("results.csv", "results.npz", "checkpoint.pkl",
+                  "logs_run_0.log"):
+        assert os.path.exists(os.path.join(run_dir, fname)), fname
+    assert not os.path.exists(os.path.join(outdir, "artifacts_p1"))
+
+    # The distributed run matches a single-process run of the same job on
+    # the same global mesh shape (this pytest process: 8 virtual CPU
+    # devices). Collective reduction orders differ, so tolerance is loose
+    # but tight enough to catch any semantic drift.
+    from gnn_rul_tpu.parallel._dist_worker import run_training
+    sp_results, _ = run_training(str(tmp_path / "single"), epochs=2)
+    sp = np.asarray(sp_results[0][None])
+    np.testing.assert_allclose(b0, sp, rtol=1e-3, atol=1e-3)
