@@ -21,14 +21,35 @@ import time
 
 import numpy as np
 
-# (tag, method, dataset, sub_id, kind, C, L)
+# (tag, method, dataset, sub_id, kind, C, L[, opts])
+#
+# Tier-name caveat (BASELINE.md tiers 2/4): the reference has NO hparams for
+# ST_GCN on CMAPSS or GAT_LSTM on N-CMAPSS — both are bearing-only methods
+# (/root/reference/configs/hparams.py: ST_GCN/GAT_LSTM exist only in the
+# PHM2012/XJTU_SY blocks; /root/reference/main.py:43-48 lists them as
+# bearing methods, and their forwards consume a flattened (bs, L) signal).
+# They are therefore measured on the configs the reference actually
+# defines: PHM2012 Condition_1.
 TIERS = [
     ("t1", "FC_STGNN", "CMAPSS", "FD001", "aero", 14, 50),
     ("t2", "STGNN", "CMAPSS", "FD004", "aero", 14, 50),
+    ("t2b", "ST_GCN", "PHM2012", "Condition_1", "bearing", 1, 2560),
     ("t3", "HierCorrPool", "CMAPSS", "FD004", "aero", 14, 50),
     ("t4", "DVGTformer", "NCMAPSS", None, "aero", 20, 50),
+    # torch GAT_LSTM runs at ~33 samples/s on this box's CPU; a smaller
+    # (but identical-for-both) synthetic set keeps 5x81-epoch runs feasible.
+    ("t4b", "GAT_LSTM", "PHM2012", "Condition_1", "bearing", 1, 2560,
+     {"files_per_bearing": 60, "test_files": 40}),
     ("t5", "HierCorrPool_bearing", "PHM2012", "Condition_1",
      "bearing", 1, 2560),
+    ("t5b", "LOGO_bearing", "PHM2012", "Condition_1", "bearing", 1, 2560),
+    # XJTU-SY rows go through the REAL leave-one-bearing-out preprocessor
+    # (gnn_rul_tpu/data/xjtu_sy.py, golden-matched against
+    # /root/reference/Data_Process/Data_read_XJTU_SY.py:99-145) on a
+    # synthetic raw csv tree.
+    ("t5x", "LOGO_bearing", "XJTU_SY", "Condition_1", "xjtu", 1, 32768),
+    ("t5y", "HierCorrPool_bearing", "XJTU_SY", "Condition_1", "xjtu",
+     1, 32768),
 ]
 
 MAX_RUL = 125.0
@@ -74,18 +95,81 @@ def synthetic_bearing(length, n_bearings, files_per_bearing, seed):
             np.asarray(ys, np.float32)[:, None])
 
 
-def make_data(kind, channels, length, data_seed=1234):
+_XJTU_CACHE = {}
+
+
+def make_xjtu_data(length=32768, data_seed=1234):
+    """Synthetic raw XJTU-SY csv tree -> the REAL leave-one-bearing-out
+    preprocessor (gnn_rul_tpu/data/xjtu_sy.py, golden-matched vs
+    /root/reference/Data_Process/Data_read_XJTU_SY.py:99-145) ->
+    Testing_bearing_1 split. Each bearing's vibration grows in amplitude
+    and harmonic content toward failure (same degradation family as
+    synthetic_bearing)."""
+    key = (length, data_seed)
+    if key in _XJTU_CACHE:
+        return _XJTU_CACHE[key]
+    import os
+    import tempfile
+    import pandas as pd
+    from gnn_rul_tpu.data import xjtu_sy
+
+    minutes_table = [60, 50, 55, 45, 40]  # per-bearing lifetimes (minutes)
+    rng = np.random.default_rng(data_seed)
+    root = tempfile.mkdtemp(prefix="xjtu_synth_")
+    base = os.path.join(root, "XJTU-SY_Bearing_Datasets", "35Hz12kN")
+    t = np.arange(length) / length
+    for b in range(1, 6):
+        folder = os.path.join(base, f"Bearing1_{b}")
+        os.makedirs(folder)
+        minutes = minutes_table[b - 1]
+        freq = rng.uniform(40, 80)
+        for i in range(1, minutes + 1):
+            frac = (i - 1) / max(minutes - 1, 1)
+            amp = 0.2 + 1.8 * frac ** 2
+            sig = (rng.normal(size=length) * (0.3 + 0.7 * frac)
+                   + amp * np.sin(2 * np.pi * freq * t)
+                   + 0.5 * frac * np.sin(2 * np.pi * 3 * freq * t))
+            pd.DataFrame({
+                "Horizontal_vibration_signals": sig.astype(np.float32),
+                "Vertical_vibration_signals": np.zeros(length, np.float32),
+            }).to_csv(os.path.join(folder, f"{i}.csv"), index=False)
+
+    orig_table = xjtu_sy.RUL_CONDITION_BEARING
+    xjtu_sy.RUL_CONDITION_BEARING = [minutes_table] + orig_table[1:]
+    try:
+        results = xjtu_sy.preprocess_xjtu_sy(
+            root, 1, out_dir=os.path.join(root, "out"), seed=0)
+    finally:
+        xjtu_sy.RUL_CONDITION_BEARING = orig_table
+    split = results[1]  # leave-out bearing 1
+    data = (split["train_x"].astype(np.float32),
+            split["train_y"].astype(np.float32)[:, None],
+            split["test_x"].astype(np.float32),
+            split["test_y"].astype(np.float32)[:, None],
+            float(split["max_rul"]))
+    _XJTU_CACHE[key] = data
+    return data
+
+
+def make_data(kind, channels, length, data_seed=1234, opts=None):
+    """Returns (xtr, ytr, xte, yte, max_rul)."""
+    opts = opts or {}
     if kind == "aero":
         xtr, ytr = synthetic_aero(channels, n_engines=24, seed=data_seed)
         xte, yte = synthetic_aero(channels, n_engines=6,
                                   seed=data_seed + 1)
+    elif kind == "xjtu":
+        return make_xjtu_data(length, data_seed)
     else:
-        xtr, ytr = synthetic_bearing(length, n_bearings=5,
-                                     files_per_bearing=180, seed=data_seed)
-        xte, yte = synthetic_bearing(length, n_bearings=2,
-                                     files_per_bearing=120,
-                                     seed=data_seed + 1)
-    return xtr, ytr, xte, yte
+        xtr, ytr = synthetic_bearing(
+            length, n_bearings=5,
+            files_per_bearing=opts.get("files_per_bearing", 180),
+            seed=data_seed)
+        xte, yte = synthetic_bearing(
+            length, n_bearings=2,
+            files_per_bearing=opts.get("test_files", 120),
+            seed=data_seed + 1)
+    return xtr, ytr, xte, yte, MAX_RUL
 
 
 def run_ours(method, dataset, sub_id, data, run_id, epochs=81,
@@ -96,7 +180,11 @@ def run_ours(method, dataset, sub_id, data, run_id, epochs=81,
     from gnn_rul_tpu.train.engine import Engine
     from gnn_rul_tpu.train.metrics import calc_metrics
 
-    xtr, ytr, xte, yte = data
+    from gnn_rul_tpu.data.loader import normalize_layout
+
+    xtr, ytr, xte, yte, max_rul = data
+    xtr, ytr = normalize_layout(xtr, ytr)
+    xte, yte = normalize_layout(xte, yte)
     spec = get_algorithm_spec(method)
     hp = dict(hparams.model_hparams(dataset, sub_id, method))
     tp = dict(hparams.train_params(dataset, sub_id, method))
@@ -110,7 +198,7 @@ def run_ours(method, dataset, sub_id, data, run_id, epochs=81,
     for epoch in range(1, epochs + 1):
         state, _ = engine.run_epoch(state, xtr, ytr, epoch, shuffle=True)
         preds = engine.evaluate(state, xte)
-        m = calc_metrics(preds, yte.reshape(-1), MAX_RUL)
+        m = calc_metrics(preds, yte.reshape(-1), max_rul)
         if best is None or m[3] < best[3]:
             best = m
     return best, time.time() - t0
@@ -127,7 +215,11 @@ def run_torch(method, dataset, sub_id, data, run_id, epochs=81):
     from gnn_rul_tpu.configs import hparams
     from gnn_rul_tpu.train.metrics import calc_metrics
 
-    xtr, ytr, xte, yte = data
+    from gnn_rul_tpu.data.loader import normalize_layout
+
+    xtr, ytr, xte, yte, max_rul = data
+    xtr, ytr = normalize_layout(xtr, ytr)
+    xte, yte = normalize_layout(xte, yte)
     hp = dict(hparams.model_hparams(dataset, sub_id, method))
     tp = dict(hparams.train_params(dataset, sub_id, method))
     if method == "STFA":
@@ -167,8 +259,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiers", default=None,
                     help="comma-separated tags (default all)")
-    ap.add_argument("--runs-ours", type=int, default=3)
-    ap.add_argument("--runs-torch", type=int, default=2)
+    ap.add_argument("--runs-ours", type=int, default=5)
+    ap.add_argument("--runs-torch", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=81)
     ap.add_argument("--skip-torch", action="store_true")
     ap.add_argument("--precision", default="fp32",
@@ -178,10 +270,12 @@ def main():
     args = ap.parse_args()
     sel = set(args.tiers.split(",")) if args.tiers else None
 
-    for tag, method, dataset, sub_id, kind, c, l in TIERS:
+    for tier in TIERS:
+        tag, method, dataset, sub_id, kind, c, l = tier[:7]
+        opts = tier[7] if len(tier) > 7 else None
         if sel and tag not in sel:
             continue
-        data = make_data(kind, c, l)
+        data = make_data(kind, c, l, opts=opts)
         summary = {"tier": tag, "method": method, "dataset": dataset,
                    "sub_id": sub_id, "epochs": args.epochs,
                    "n_train": int(data[0].shape[0]),
