@@ -263,6 +263,9 @@ def main():
     ap.add_argument("--runs-torch", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=81)
     ap.add_argument("--skip-torch", action="store_true")
+    ap.add_argument("--skip-ours", action="store_true",
+                    help="torch-reference side only (run the two sides on "
+                         "different processors in parallel)")
     ap.add_argument("--precision", default="fp32",
                     choices=["fp32", "bf16"],
                     help="our-framework compute precision (torch side "
@@ -281,7 +284,7 @@ def main():
                    "n_train": int(data[0].shape[0]),
                    "n_test": int(data[2].shape[0])}
         ours = []
-        for r in range(args.runs_ours):
+        for r in range(0 if args.skip_ours else args.runs_ours):
             best, dt = run_ours(method, dataset, sub_id, data, r,
                                 args.epochs, precision=args.precision)
             ours.append(best)
@@ -298,10 +301,11 @@ def main():
                 print(json.dumps({"tier": tag, "fw": "torch", "run": r,
                                   "best": [round(v, 4) for v in best],
                                   "wall_s": round(dt, 1)}), flush=True)
-        rm = [b[3] for b in ours]
-        summary["ours_rmse"] = [round(v, 3) for v in rm]
-        summary["ours_best"] = [round(v, 4) for v in
-                                ours[int(np.argmin(rm))]]
+        if ours:
+            rm = [b[3] for b in ours]
+            summary["ours_rmse"] = [round(v, 3) for v in rm]
+            summary["ours_best"] = [round(v, 4) for v in
+                                    ours[int(np.argmin(rm))]]
         if ref:
             rr = [b[3] for b in ref]
             summary["torch_rmse"] = [round(v, 3) for v in rr]

@@ -27,11 +27,18 @@ def _rnn_init(hidden: int):
 
 
 def _auto_unroll(unroll: int, t: int) -> int:
-    """0 = auto: unroll 4-way once the scan is long enough that per-step
-    loop overhead dominates the tiny per-step matmul (measured on v5e:
-    ~1.5x fwd+bwd at T=100; no win below ~32 steps)."""
+    """0 = auto. On TPU, FULLY unroll sequences up to 128 steps: the
+    recurrence becomes a straight-line program XLA schedules tightly —
+    measured on v5e (LOGO_bearing trunk, B=544 T=100 H=30, fwd+bwd):
+    unroll=4 13.98 ms, 10/20/25/50 22-25 ms (partial unroll LOSES), full
+    unroll 5.74 ms (2.4x). Costs ~45 s extra compile per model, paid once.
+    On CPU (tests) keep the cheap-compile 4-way policy; the math is
+    identical either way."""
     if unroll > 0:
         return unroll
+    import jax
+    if t <= 128 and jax.default_backend() != "cpu":
+        return t
     return 4 if t >= 32 else 1
 
 
@@ -99,7 +106,8 @@ def _lstm_cell_math(gates, c):
     return jax.nn.sigmoid(o) * jnp.tanh(c), c
 
 
-def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0):
+def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
+                 impl: str = "auto"):
     """Run forward+backward LSTM directions in ONE lax.scan.
 
     Halves the sequential scan count vs two separate LSTMLayers and fuses
@@ -107,8 +115,14 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0):
     (2, B, H) @ (2, H, 4H) — one MXU dispatch per step instead of two.
     Numerically identical to running the directions separately.
 
+    ``impl``: "auto"/"scan" = lax.scan with the measured unroll policy
+    (full unroll on TPU at T<=128 — the fastest path on v5e, see
+    ops/pallas/fused_lstm.py's measured verdict); "pallas" = the Pallas
+    whole-recurrence kernel (bit-exact; the scale path for very long T).
+
     x: (B, T, D). Returns (ys_fwd, ys_bwd) each (B, T, H), plus
-    ((hf, cf), (hb, cb)) final states.
+    ((hf, cf), (hb, cb)) final states (Pallas path: final cell states are
+    not materialized and are returned as None).
     """
     b, t, _ = x.shape
     w_ih_f, w_hh_f, b_ih_f, b_hh_f = params_fwd
@@ -122,6 +136,15 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0):
     xg = jnp.stack([xg_f, xg_b[::-1]], axis=1)  # (T, 2, B, 4H)
 
     w_hh = jnp.stack([w_hh_f, w_hh_b])  # (2, H, 4H)
+
+    if impl == "pallas":
+        from ..ops.pallas.fused_lstm import lstm_recurrence_pallas
+        interpret = jax.default_backend() in ("cpu", "gpu")
+        ys = lstm_recurrence_pallas(xg, w_hh, interpret)
+        ys_f = jnp.swapaxes(ys[:, 0], 0, 1)
+        ys_b = jnp.swapaxes(ys[::-1, 1], 0, 1)
+        return ys_f, ys_b, ((ys_f[:, -1], None), (ys_b[:, 0], None))
+
     h0 = jnp.zeros((2, b, hid), x.dtype)
     c0 = jnp.zeros((2, b, hid), x.dtype)
 
