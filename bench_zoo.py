@@ -133,18 +133,24 @@ def bench_jax(method, dataset, sub_id, shape, batch, steps, bf16=False,
     except Exception:
         eps = 0
 
-    # MFU: XLA cost analysis of the WHOLE scanned train loop (fwd + bwd +
-    # Adam) divided by steps -> model FLOPs per optimizer step; utilization
-    # is measured throughput over the chip's peak for the compute dtype.
-    # (v5e: ~197 TFLOP/s bf16 MXU, ~49 TFLOP/s fp32.) The lowering hits the
-    # executable cache, so this costs no extra compile.
+    # MFU: XLA cost analysis of ONE train step (fwd + bwd + Adam) -> model
+    # FLOPs per optimizer step; utilization is measured throughput over the
+    # chip's peak for the compute dtype (v5e: ~197 TFLOP/s bf16 MXU,
+    # ~49 TFLOP/s fp32). NOTE: costing the scanned loop would be wrong —
+    # HloCostAnalysis counts a while-loop body ONCE, not x trip count — so
+    # the single step is lowered separately (un-compiled cost analysis; no
+    # extra device compile).
     flops_per_step = 0.0
     try:
-        cost = run.lower(params, batch_stats, opt_state,
-                         jax.random.PRNGKey(2)).compile().cost_analysis()
+        single = jax.jit(train_step).lower(params, batch_stats, opt_state,
+                                           jax.random.PRNGKey(2))
+        try:
+            cost = single.cost_analysis()
+        except Exception:
+            cost = single.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0)) / steps
+        flops_per_step = float((cost or {}).get("flops", 0.0))
     except Exception:
         pass
     tflops = flops_per_step / dt / 1e12

@@ -320,6 +320,13 @@ class Trainer:
                         os.path.join(run_dir, "checkpoint.pkl"), state,
                         extra={"epoch": epoch, "run_id": run_id})
 
+            if start_epoch > num_epochs:
+                # Resume found a checkpoint at (or past) the final epoch:
+                # nothing to train, but still produce results/artifacts by
+                # evaluating the restored state once.
+                self._evaluate_and_track(engine, state, trackers, run_dir,
+                                         logger)
+
             if self.is_main:
                 ckptr.wait()
                 save_checkpoint(
