@@ -16,6 +16,13 @@ import argparse
 import json
 import os
 
+# CPU is sufficient (arithmetic counts are backend-independent) and must
+# win over the sitecustomize-forced TPU plugin.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
 PEAK_FP32_TFLOPS = 49.2    # v5e MXU fp32-equivalent
 PEAK_BF16_TFLOPS = 196.7   # v5e MXU bf16
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 
 
+from typing import Optional
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -26,18 +28,33 @@ def _rnn_init(hidden: int):
     return uniform_bound(1.0 / np.sqrt(hidden))
 
 
-def _auto_unroll(unroll: int, t: int) -> int:
+def _auto_unroll(unroll: int, t: int, b: Optional[int] = None) -> int:
     """0 = auto. On TPU, FULLY unroll sequences up to 128 steps: the
     recurrence becomes a straight-line program XLA schedules tightly —
-    measured on v5e (LOGO_bearing trunk, B=544 T=100 H=30, fwd+bwd):
+    measured on v5e (LOGO_bearing/XJTU trunk, B=544 T=100 H=30, fwd+bwd):
     unroll=4 13.98 ms, 10/20/25/50 22-25 ms (partial unroll LOSES), full
-    unroll 5.74 ms (2.4x). Costs ~45 s extra compile per model, paid once.
+    unroll 5.74 ms (2.4x; end-to-end tier 6,342 -> 15,105 samples/s).
+    Costs ~45 s extra compile per model, paid once.
+
+    ``b`` (the recurrence batch, passed by the bidirectional fused path):
+    full unroll of the 6-scan Bi-LSTM stacks LOSES at small batches —
+    measured end-to-end A/B on LOGO_bearing/PHM2012 (B=200): full unroll
+    10,009 samples/s vs unroll=4 21,961 — so the bidirectional path only
+    fully unrolls at B >= 384. Unidirectional layers win at every measured
+    batch (GAT_LSTM B=100: PHM 157k->165k, XJTU 119k->210k samples/s).
+
     On CPU (tests) keep the cheap-compile 4-way policy; the math is
-    identical either way."""
+    identical either way. GNNRUL_LSTM_UNROLL=<n> overrides for experiments.
+    """
     if unroll > 0:
         return unroll
+    import os
+    env = os.environ.get("GNNRUL_LSTM_UNROLL")
+    if env:  # experiment escape hatch, e.g. GNNRUL_LSTM_UNROLL=4
+        return min(int(env), t)
     import jax
-    if t <= 128 and jax.default_backend() != "cpu":
+    if (t <= 128 and jax.default_backend() != "cpu"
+            and (b is None or b >= 384)):
         return t
     return 4 if t >= 32 else 1
 
@@ -155,7 +172,7 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
         return (h, c), h
 
     (hn, cn), ys = jax.lax.scan(step, (h0, c0), xg,
-                                unroll=_auto_unroll(unroll, t))
+                                unroll=_auto_unroll(unroll, t, b))
     ys_f = jnp.swapaxes(ys[:, 0], 0, 1)            # (B, T, H)
     ys_b = jnp.swapaxes(ys[::-1, 1], 0, 1)         # un-flip backward outputs
     return ys_f, ys_b, ((hn[0], cn[0]), (hn[1], cn[1]))

@@ -21,7 +21,16 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda a: np.asarray(a), tree)
+    def conv(a):
+        if isinstance(a, jax.Array) and not (
+                a.is_fully_addressable or a.is_fully_replicated):
+            # Multi-host + tensor-sharded leaf: materialize the full value
+            # (host 0 is the only writer; see Trainer).
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                a, tiled=True))
+        return np.asarray(a)
+    return jax.tree_util.tree_map(conv, tree)
 
 
 def save_checkpoint(path: str, state, extra: Dict[str, Any] = None) -> str:
