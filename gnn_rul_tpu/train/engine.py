@@ -339,20 +339,48 @@ class Engine:
         params, batch_stats, opt_state, step = (
             state.params, state.batch_stats, state.opt_state, state.step)
         total, count = 0.0, 0
-        if epoch_fn is not None:
-            (params, batch_stats, opt_state, step), losses = epoch_fn(
-                params, batch_stats, opt_state, step,
-                perm, epoch_rng, x_all, y_all)
-            total = float(jnp.sum(losses)) * self.batch_size
-            count = n_full * self.batch_size
-        if rem_fn is not None:
-            params, batch_stats, opt_state, step, rloss = rem_fn(
-                params, batch_stats, opt_state, step, perm, epoch_rng,
-                x_all, y_all)
-            total += float(rloss) * rem
-            count += rem
+        try:
+            if epoch_fn is not None:
+                (params, batch_stats, opt_state, step), losses = epoch_fn(
+                    params, batch_stats, opt_state, step,
+                    perm, epoch_rng, x_all, y_all)
+                total = float(jnp.sum(losses)) * self.batch_size
+                count = n_full * self.batch_size
+            if rem_fn is not None:
+                params, batch_stats, opt_state, step, rloss = rem_fn(
+                    params, batch_stats, opt_state, step, perm, epoch_rng,
+                    x_all, y_all)
+                total += float(rloss) * rem
+                count += rem
+        except Exception as e:  # noqa: BLE001 - backend compile crash
+            # Fail-safe against XLA TPU compiler crashes on aggressive
+            # schedules (observed: the fusion emitter checks-fails on SOME
+            # fully-unrolled Bi-LSTM backward lengths — T=90 dies where
+            # T=100 compiles; "Check failed: window.pad_low[i] == 0"). Drop
+            # to the conservative unroll policy (GNNRUL_LSTM_UNROLL=4,
+            # identical math), clear the traced-program caches, and retry
+            # the epoch once from the unmodified input state.
+            import os
+            if (os.environ.get("GNNRUL_LSTM_UNROLL") == "4"
+                    or not self._is_compile_crash(e)):
+                raise
+            import logging
+            logging.getLogger(__name__).warning(
+                "backend compile crash (%s...); retrying epoch with the "
+                "conservative recurrence schedule", repr(e)[:120])
+            os.environ["GNNRUL_LSTM_UNROLL"] = "4"
+            self._epoch_cache.clear()
+            self._eval_cache.clear()
+            return self.run_epoch(state, x_train, y_train, epoch, shuffle)
         state = TrainState(params, batch_stats, opt_state, step)
         return state, total / max(count, 1)
+
+    @staticmethod
+    def _is_compile_crash(e: Exception) -> bool:
+        msg = repr(e)
+        return any(s in msg for s in (
+            "remote_compile", "tpu_compile_helper", "INTERNAL",
+            "Check failed"))
 
     # ------------------------------------------------------------------ eval
 
@@ -408,5 +436,15 @@ class Engine:
             x_dev = replicate_host_array(np.asarray(x_pad), self.mesh)
         else:
             x_dev = jnp.asarray(x_pad)
-        preds = eval_fn(state.params, state.batch_stats, x_dev)
+        try:
+            preds = eval_fn(state.params, state.batch_stats, x_dev)
+        except Exception as e:  # same compile-crash fallback as run_epoch
+            import os
+            if (os.environ.get("GNNRUL_LSTM_UNROLL") == "4"
+                    or not self._is_compile_crash(e)):
+                raise
+            os.environ["GNNRUL_LSTM_UNROLL"] = "4"
+            self._eval_cache.clear()
+            preds = self._get_eval_fn(n_batches, ebs)(
+                state.params, state.batch_stats, x_dev)
         return np.asarray(preds[:n])
