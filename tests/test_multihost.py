@@ -35,7 +35,8 @@ def _free_port() -> int:
     return port
 
 
-def _launch_worker(pid, nproc, port, outdir, devices_per_proc=4):
+def _launch_worker(pid, nproc, port, outdir, devices_per_proc=4,
+                   n_model=1):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -44,7 +45,7 @@ def _launch_worker(pid, nproc, port, outdir, devices_per_proc=4):
     return subprocess.Popen(
         [sys.executable, "-m", "gnn_rul_tpu.parallel._dist_worker",
          "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
-         "--outdir", outdir],
+         "--outdir", outdir, "--n_model", str(n_model)],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
 
@@ -96,3 +97,36 @@ def test_two_process_training(tmp_path):
     sp_results, _ = run_training(str(tmp_path / "single"), epochs=2)
     sp = np.asarray(sp_results[0][None])
     np.testing.assert_allclose(b0, sp, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_two_process_training_with_model_axis(tmp_path):
+    """2 processes x (data=4, model=2) global mesh: cross-process data
+    parallelism combined with the within-process model axis (FC_STGNN's
+    node-sharded graph engine is injected by the Trainer for model>1)."""
+    outdir = str(tmp_path)
+    port = _free_port()
+    procs = [_launch_worker(pid, 2, port, outdir, n_model=2)
+             for pid in (0, 1)]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+
+    r0 = json.load(open(os.path.join(outdir, "result_p0.json")))
+    r1 = json.load(open(os.path.join(outdir, "result_p1.json")))
+    np.testing.assert_allclose(np.asarray(r0["best"]["None"]),
+                               np.asarray(r1["best"]["None"]), rtol=1e-6)
+    # And it matches plain single-process DP on the same data.
+    from gnn_rul_tpu.parallel._dist_worker import run_training
+    sp_results, _ = run_training(str(tmp_path / "single"), epochs=2)
+    np.testing.assert_allclose(np.asarray(r0["best"]["None"]),
+                               np.asarray(sp_results[0][None]),
+                               rtol=1e-3, atol=1e-3)
