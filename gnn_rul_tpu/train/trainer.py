@@ -214,18 +214,21 @@ class Trainer:
         from .engine import TrainState
 
         run_dir = os.path.join(self.exp_log_dir, f"{self.method}_eval")
-        os.makedirs(run_dir, exist_ok=True)
-        logger = _make_logger(run_dir, 0)
+        if self.is_main:
+            os.makedirs(run_dir, exist_ok=True)
+        logger = _make_logger(run_dir, 0, write=self.is_main)
         engine = self._build_engine(seed=0)
         state = TrainState(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", FrozenDict()),
             opt_state=None, step=np.int32(0))
         if self.data.is_dict_test:
-            trackers = {k: BestTracker(run_dir, key=k)
+            trackers = {k: BestTracker(run_dir, key=k,
+                                       write_artifacts=self.is_main)
                         for k in self.data.test}
         else:
-            trackers = {None: BestTracker(run_dir)}
+            trackers = {None: BestTracker(run_dir,
+                                          write_artifacts=self.is_main)}
         self._evaluate_and_track(engine, state, trackers, run_dir, logger)
         return {k: t.best for k, t in trackers.items()}
 
