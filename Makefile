@@ -2,7 +2,7 @@
 
 .PHONY: test test-all native bench bench-check dryrun
 
-test:        ## fast suite (~7 min on this container's 2 CPUs)
+test:        ## fast suite (~10 min on this container's 2 CPUs)
 	python -m pytest -m "not slow" -q
 
 test-all:    ## full suite incl. torch-oracle parity + goldens (~30 min)
