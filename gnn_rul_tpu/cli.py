@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "JAX_PLATFORMS=cpu")
     p.add_argument("--epochs", type=int, default=0,
                    help="override the hparam-bank num_epochs (0 = keep)")
+    p.add_argument("--vectorized_runs", action="store_true",
+                   help="run all --num_runs seeds as ONE vmapped program "
+                        "(fills the chip on latency-bound tiers; "
+                        "single-device, incompatible with --mesh/--resume)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of one training epoch "
                         "into DIR (view with tensorboard/xprof)")
@@ -113,6 +117,7 @@ def main(argv=None):
         mesh=mesh,
         num_epochs_override=args.epochs or None,
         profile_dir=args.profile,
+        vectorized_runs=args.vectorized_runs,
     )
     if args.eval_torch_checkpoint:
         from .compat import import_torch_checkpoint

@@ -28,6 +28,27 @@ def _rnn_init(hidden: int):
     return uniform_bound(1.0 / np.sqrt(hidden))
 
 
+# Context-scoped unroll cap: the engine's compile-crash fallback demotes
+# ITS OWN traces to a conservative schedule without mutating process-global
+# state (env vars) — other engines in the same process keep full unrolling.
+import contextlib
+import contextvars
+
+_UNROLL_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "gnnrul_lstm_unroll_override", default=None)
+
+
+@contextlib.contextmanager
+def unroll_override(value: Optional[int]):
+    """Scope an unroll-policy override to the enclosed traces (None = no
+    override). Used by train.engine's compile-crash fallback."""
+    tok = _UNROLL_OVERRIDE.set(value)
+    try:
+        yield
+    finally:
+        _UNROLL_OVERRIDE.reset(tok)
+
+
 def _auto_unroll(unroll: int, t: int, b: Optional[int] = None) -> int:
     """0 = auto. On TPU, FULLY unroll sequences up to 128 steps: the
     recurrence becomes a straight-line program XLA schedules tightly —
@@ -48,6 +69,9 @@ def _auto_unroll(unroll: int, t: int, b: Optional[int] = None) -> int:
     """
     if unroll > 0:
         return unroll
+    ov = _UNROLL_OVERRIDE.get()
+    if ov is not None:  # engine-scoped compile-crash fallback
+        return min(int(ov), t)
     import os
     env = os.environ.get("GNNRUL_LSTM_UNROLL")
     if env:  # experiment escape hatch, e.g. GNNRUL_LSTM_UNROLL=4
@@ -138,8 +162,8 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
     whole-recurrence kernel (bit-exact; the scale path for very long T).
 
     x: (B, T, D). Returns (ys_fwd, ys_bwd) each (B, T, H), plus
-    ((hf, cf), (hb, cb)) final states (Pallas path: final cell states are
-    not materialized and are returned as None).
+    ((hf, cf), (hb, cb)) final states — identical contract on every impl
+    (the Pallas kernel returns its VMEM-resident final cell states too).
     """
     b, t, _ = x.shape
     w_ih_f, w_hh_f, b_ih_f, b_hh_f = params_fwd
@@ -157,10 +181,10 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
     if impl == "pallas":
         from ..ops.pallas.fused_lstm import lstm_recurrence_pallas
         interpret = jax.default_backend() in ("cpu", "gpu")
-        ys = lstm_recurrence_pallas(xg, w_hh, interpret)
+        ys, c_fin = lstm_recurrence_pallas(xg, w_hh, interpret)
         ys_f = jnp.swapaxes(ys[:, 0], 0, 1)
         ys_b = jnp.swapaxes(ys[::-1, 1], 0, 1)
-        return ys_f, ys_b, ((ys_f[:, -1], None), (ys_b[:, 0], None))
+        return ys_f, ys_b, ((ys_f[:, -1], c_fin[0]), (ys_b[:, 0], c_fin[1]))
 
     h0 = jnp.zeros((2, b, hid), x.dtype)
     c0 = jnp.zeros((2, b, hid), x.dtype)

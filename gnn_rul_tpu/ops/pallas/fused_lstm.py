@@ -95,13 +95,16 @@ def _fwd_kernel(xg_ref, w_ref, ys_ref, cs_ref, h_sc, c_sc, *, tblk, hp):
 # --------------------------------------------------------------------- bwd
 
 def _bwd_kernel(xg_ref, w_ref, wt_ref, ysp_ref, cs_ref, csp_ref, dys_ref,
-                dxg_ref, dw_ref, dh_sc, dc_sc, dw_sc, *, tblk, hp, nblk):
+                dcf_ref, dxg_ref, dw_ref, dh_sc, dc_sc, dw_sc,
+                *, tblk, hp, nblk):
     ib = pl.program_id(0)
 
     @pl.when(ib == 0)
     def _init():
         dh_sc[:] = jnp.zeros_like(dh_sc)
-        dc_sc[:] = jnp.zeros_like(dc_sc)
+        # The final-cell-state output's cotangent seeds the reversed cell
+        # sweep (zero when the caller never consumes c_fin).
+        dc_sc[:] = dcf_ref[:]
         dw_sc[:] = jnp.zeros_like(dw_sc)
 
     for j in range(tblk):  # static: fully unrolled inside the kernel
@@ -176,14 +179,16 @@ def _arrange_wt(w_hh, h: int, hp: int):
 def lstm_recurrence_pallas(xg, w_hh, interpret: bool = False):
     """Bidirectional LSTM recurrence: xg (T, 2, B, 4H) pre-projected gate
     inputs (direction 1 already time-flipped), w_hh (2, H, 4H) torch-layout
-    recurrent weights -> ys (T, 2, B, H).
+    recurrent weights -> (ys (T, 2, B, H), c_fin (2, B, H)).
 
-    Equals the lax.scan recurrence in nn.recurrent.bilstm_fused step for
-    step; fwd AND bwd run as single Pallas launches with the carry resident
-    in VMEM.
+    ``c_fin`` is the final cell state of each direction (kernel step T-1),
+    differentiable — its cotangent seeds the reversed cell sweep in the
+    backward kernel. Equals the lax.scan recurrence in
+    nn.recurrent.bilstm_fused step for step; fwd AND bwd run as single
+    Pallas launches with the carry resident in VMEM.
     """
-    ys, _ = _fwd(xg, w_hh, interpret)
-    return ys
+    (ys, c_fin), _ = _fwd(xg, w_hh, interpret)
+    return ys, c_fin
 
 
 def _run_fwd(xg, w_hh, interpret):
@@ -224,10 +229,12 @@ def _fwd(xg, w_hh, interpret):
     ys_k, cs_k, hp = _run_fwd(xg, w_hh, interpret)
     h = w_hh.shape[1]
     ys = jnp.moveaxis(ys_k[:, :, :h, :], 3, 2)       # (T, 2, B, H)
-    return ys, (xg, w_hh, ys_k, cs_k)
+    c_fin = jnp.swapaxes(cs_k[-1, :, :h, :], 1, 2)   # (2, B, H)
+    return (ys, c_fin), (xg, w_hh, ys_k, cs_k)
 
 
-def _bwd(interpret, res, dys):
+def _bwd(interpret, res, cot):
+    dys, dcf = cot
     xg, w_hh, ys_k, cs_k = res
     t, k, b, four_h = xg.shape
     h = four_h // 4
@@ -240,8 +247,10 @@ def _bwd(interpret, res, dys):
     ysp = jnp.concatenate([zeros, ys_k[:-1]], axis=0)
     csp = jnp.concatenate([zeros, cs_k[:-1]], axis=0)
     dys_k = jnp.moveaxis(dys, 2, 3)                   # (T, 2, H, B)
+    dcf_k = jnp.swapaxes(dcf, 1, 2)                   # (2, H, B)
     if hp != h:
         dys_k = jnp.pad(dys_k, ((0, 0), (0, 0), (0, hp - h), (0, 0)))
+        dcf_k = jnp.pad(dcf_k, ((0, 0), (0, hp - h), (0, 0)))
 
     # Streamed per time-step: xg + dxg (4hp each) + ys_prev/cs/cs_prev/dys.
     tblk = _time_block(t, 2 * (8 * hp + 4 * hp) * b * 4)
@@ -264,6 +273,8 @@ def _bwd(interpret, res, dys):
             tb_spec(hp),                                        # cs
             tb_spec(hp),                                        # cs_prev
             tb_spec(hp),                                        # dys
+            pl.BlockSpec((2, hp, b), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),              # dc_fin
         ],
         out_specs=[
             tb_spec(4 * hp),                                    # dxg
@@ -274,7 +285,7 @@ def _bwd(interpret, res, dys):
                         pltpu.VMEM((2, hp, b), jnp.float32),
                         pltpu.VMEM((2, 4 * hp, hp), jnp.float32)],
         interpret=interpret,
-    )(xk, wk, wtk, ysp, cs_k, csp, dys_k)
+    )(xk, wk, wtk, ysp, cs_k, csp, dys_k, dcf_k)
 
     # Undo the kernel layouts.
     dxg = dxg_k.reshape(t, 2, 4, hp, b)[:, :, :, :h, :]
@@ -291,7 +302,8 @@ lstm_recurrence_pallas.defvjp(
 
 def lstm_recurrence_reference(xg, w_hh):
     """lax.scan reference with identical semantics (for parity tests and
-    non-TPU fallback). xg (T, 2, B, 4H), w_hh (2, H, 4H) -> (T, 2, B, H)."""
+    non-TPU fallback). xg (T, 2, B, 4H), w_hh (2, H, 4H) ->
+    (ys (T, 2, B, H), c_fin (2, B, H))."""
     hid = w_hh.shape[1]
     b = xg.shape[2]
     h0 = jnp.zeros((2, b, hid), xg.dtype)
@@ -305,5 +317,5 @@ def lstm_recurrence_reference(xg, w_hh):
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
-    _, ys = jax.lax.scan(step, (h0, c0), xg)
-    return ys
+    (_, cn), ys = jax.lax.scan(step, (h0, c0), xg)
+    return ys, cn

@@ -24,11 +24,26 @@ def _to_host(tree):
     def conv(a):
         if isinstance(a, jax.Array) and not (
                 a.is_fully_addressable or a.is_fully_replicated):
-            # Multi-host + tensor-sharded leaf: materialize the full value
-            # (host 0 is the only writer; see Trainer).
-            from jax.experimental import multihost_utils
-            return np.asarray(multihost_utils.process_allgather(
-                a, tiled=True))
+            # Multi-process + partitioned leaf. Saves are host-0-only
+            # (Trainer) and may run on the AsyncCheckpointer thread, so a
+            # cross-process collective here would deadlock the job. Under
+            # this framework's sharding rules every partitioned axis is
+            # process-local (parallel.multihost.put_global contract: TP
+            # within a host, replication across hosts), so this process's
+            # addressable shards cover the full global value — assemble it
+            # locally.
+            out = np.empty(a.shape, a.dtype)
+            filled = np.zeros(a.shape, bool)
+            for sh in a.addressable_shards:
+                out[sh.index] = np.asarray(sh.data)
+                filled[sh.index] = True
+            if not filled.all():
+                raise ValueError(
+                    "checkpoint leaf is partitioned across processes "
+                    f"(addressable shards cover {int(filled.sum())}/"
+                    f"{a.size} elements); host-0-only save cannot "
+                    "materialize it without a collective")
+            return out
         return np.asarray(a)
     return jax.tree_util.tree_map(conv, tree)
 
@@ -88,20 +103,65 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
         return pickle.load(f)
 
 
-def restore_state(path: str, state):
+def restore_state(path: str, state, broadcast: bool = False):
     """Restore a TrainState-like object from a checkpoint, preserving the
-    structure of the given freshly-initialized state."""
+    structure AND SHARDING of the given freshly-initialized state: every
+    restored leaf is placed back under its template leaf's sharding, so
+    on a (data, model) mesh resume feeds the global-mesh jitted steps
+    exactly what init_state would have.
+
+    ``broadcast=True`` (multi-process jobs): checkpoints are written
+    host-0-only and the filesystem may not be shared, so only process 0
+    reads the file; its payload is broadcast to all processes (which keeps
+    params AND start-epoch agreed everywhere). The returned ``extra`` is
+    then reduced to ``{"epoch": int}``.
+    """
     from .engine import TrainState
-    payload = load_checkpoint(path)
+    import jax.numpy as jnp
+
+    if broadcast:
+        from jax.experimental import multihost_utils
+
+        def host_zeros(tree):
+            return jax.tree_util.tree_map(
+                lambda t: np.zeros(getattr(t, "shape", ()),
+                                   getattr(t, "dtype", np.float32)), tree)
+
+        if jax.process_index() == 0:
+            payload = load_checkpoint(path)
+            trees = (payload["params"], payload["batch_stats"],
+                     payload["opt_state"],
+                     np.asarray(payload["step"], np.int32),
+                     np.asarray(payload["extra"].get("epoch", 0), np.int32))
+        else:
+            trees = (host_zeros(state.params), host_zeros(state.batch_stats),
+                     host_zeros(state.opt_state),
+                     np.zeros((), np.int32), np.zeros((), np.int32))
+        trees = multihost_utils.broadcast_one_to_all(trees)
+        params_h, bs_h, opt_h, step_h, epoch_h = trees
+        extra = {"epoch": int(epoch_h)}
+    else:
+        payload = load_checkpoint(path)
+        params_h, bs_h, opt_h = (payload["params"], payload["batch_stats"],
+                                 payload["opt_state"])
+        step_h, extra = payload["step"], payload["extra"]
+
+    def _put(t, s):
+        if isinstance(t, jax.Array):
+            s = np.asarray(s, dtype=t.dtype)
+            from jax.sharding import NamedSharding
+            if isinstance(t.sharding, NamedSharding):
+                from ..parallel.multihost import put_global
+                return put_global(s, t.sharding.mesh, t.sharding)
+            return jax.device_put(s, t.sharding)
+        return jnp.asarray(s, dtype=getattr(t, "dtype", None))
 
     def _like(template, saved):
-        return jax.tree_util.tree_map(
-            lambda t, s: jax.numpy.asarray(s, dtype=t.dtype), template, saved)
+        return jax.tree_util.tree_map(_put, template, saved)
 
-    import jax.numpy as jnp
     return TrainState(
-        params=_like(state.params, payload["params"]),
-        batch_stats=_like(state.batch_stats, payload["batch_stats"]),
-        opt_state=_like(state.opt_state, payload["opt_state"]),
-        step=jnp.asarray(payload["step"], jnp.int32),
-    ), payload["extra"]
+        params=_like(state.params, params_h),
+        batch_stats=_like(state.batch_stats, bs_h),
+        opt_state=_like(state.opt_state, opt_h),
+        step=jnp.asarray(step_h, jnp.int32),
+    ), extra

@@ -107,7 +107,18 @@ class Engine:
             self._multiprocess = is_multiprocess_mesh(mesh)
         else:
             self._multiprocess = False
-        self._data_cache: Dict[Tuple, Tuple] = {}
+        # Device-data cache holds STRONG references to the keying host
+        # arrays and verifies identity with ``is`` on lookup (an id()-keyed
+        # cache can silently serve stale device data after the caller's
+        # array is garbage-collected and a new one reuses the id).
+        self._data_cache: Dict[str, Any] = {}
+        # Per-engine compile-crash fallback state (never process-global):
+        # once True, THIS engine's traces run under the conservative
+        # recurrence schedule; other engines are unaffected. Events are
+        # recorded for the run artifacts (Trainer puts them in the
+        # checkpoint extra).
+        self.unroll_fallback = False
+        self.fallback_events = []
 
         lr = float(train_params["learning_rate"])
         wd = float(train_params.get("weight_decay", 0.0))
@@ -302,8 +313,8 @@ class Engine:
         boundary; batch-index permutations run over the real length, so
         padding is never read).
         """
-        key = (id(x_train), id(y_train))
-        if key not in self._data_cache:
+        c = self._data_cache
+        if c.get("x") is not x_train or c.get("y") is not y_train:
             if self._multiprocess:
                 from ..parallel.multihost import shard_host_rows
                 xd = shard_host_rows(np.asarray(x_train), self.mesh)
@@ -311,9 +322,10 @@ class Engine:
             else:
                 xd = jnp.asarray(x_train)
                 yd = jnp.asarray(y_train)
-            # Keep only the latest dataset resident.
-            self._data_cache = {key: (xd, yd)}
-        return self._data_cache[key]
+            # Keep only the latest dataset resident; the host arrays are
+            # retained so their ids cannot be recycled while cached.
+            self._data_cache = {"x": x_train, "y": y_train, "dev": (xd, yd)}
+        return self._data_cache["dev"]
 
     # ------------------------------------------------------------------- fit
 
@@ -339,48 +351,60 @@ class Engine:
         params, batch_stats, opt_state, step = (
             state.params, state.batch_stats, state.opt_state, state.step)
         total, count = 0.0, 0
+        from ..nn.recurrent import unroll_override
         try:
-            if epoch_fn is not None:
-                (params, batch_stats, opt_state, step), losses = epoch_fn(
-                    params, batch_stats, opt_state, step,
-                    perm, epoch_rng, x_all, y_all)
-                total = float(jnp.sum(losses)) * self.batch_size
-                count = n_full * self.batch_size
-            if rem_fn is not None:
-                params, batch_stats, opt_state, step, rloss = rem_fn(
-                    params, batch_stats, opt_state, step, perm, epoch_rng,
-                    x_all, y_all)
-                total += float(rloss) * rem
-                count += rem
+            with unroll_override(4 if self.unroll_fallback else None):
+                if epoch_fn is not None:
+                    (params, batch_stats, opt_state, step), losses = epoch_fn(
+                        params, batch_stats, opt_state, step,
+                        perm, epoch_rng, x_all, y_all)
+                    total = float(jnp.sum(losses)) * self.batch_size
+                    count = n_full * self.batch_size
+                if rem_fn is not None:
+                    params, batch_stats, opt_state, step, rloss = rem_fn(
+                        params, batch_stats, opt_state, step, perm, epoch_rng,
+                        x_all, y_all)
+                    total += float(rloss) * rem
+                    count += rem
         except Exception as e:  # noqa: BLE001 - backend compile crash
             # Fail-safe against XLA TPU compiler crashes on aggressive
             # schedules (observed: the fusion emitter checks-fails on SOME
             # fully-unrolled Bi-LSTM backward lengths — T=90 dies where
-            # T=100 compiles; "Check failed: window.pad_low[i] == 0"). Drop
-            # to the conservative unroll policy (GNNRUL_LSTM_UNROLL=4,
-            # identical math), clear the traced-program caches, and retry
-            # the epoch once from the unmodified input state.
-            import os
-            if (os.environ.get("GNNRUL_LSTM_UNROLL") == "4"
-                    or not self._is_compile_crash(e)):
+            # T=100 compiles; "Check failed: window.pad_low[i] == 0").
+            # Demote THIS engine to the conservative unroll policy
+            # (identical math, scoped via a ContextVar — no process-global
+            # env mutation), clear its traced-program caches, and retry the
+            # epoch once from the unmodified input state.
+            if self.unroll_fallback or not self._is_compile_crash(e):
                 raise
-            import logging
-            logging.getLogger(__name__).warning(
-                "backend compile crash (%s...); retrying epoch with the "
-                "conservative recurrence schedule", repr(e)[:120])
-            os.environ["GNNRUL_LSTM_UNROLL"] = "4"
-            self._epoch_cache.clear()
-            self._eval_cache.clear()
+            self._engage_fallback("train_epoch", epoch, e)
             return self.run_epoch(state, x_train, y_train, epoch, shuffle)
         state = TrainState(params, batch_stats, opt_state, step)
         return state, total / max(count, 1)
 
+    def _engage_fallback(self, where: str, epoch, e: Exception) -> None:
+        import logging
+        logging.getLogger(__name__).warning(
+            "backend compile crash (%s...); retrying %s with the "
+            "conservative recurrence schedule (this engine only)",
+            repr(e)[:120], where)
+        self.unroll_fallback = True
+        self.fallback_events.append(
+            {"where": where, "epoch": epoch, "error": repr(e)[:200]})
+        self._epoch_cache.clear()
+        self._eval_cache.clear()
+
     @staticmethod
     def _is_compile_crash(e: Exception) -> bool:
-        msg = repr(e)
+        # Only runtime/XLA-layer failures qualify (jaxlib surfaces compiler
+        # crashes as XlaRuntimeError, a RuntimeError subclass); user-level
+        # errors (ValueError, TypeError, ...) always propagate.
+        if not isinstance(e, RuntimeError):
+            return False
+        msg = str(e)
         return any(s in msg for s in (
-            "remote_compile", "tpu_compile_helper", "INTERNAL",
-            "Check failed"))
+            "remote_compile", "tpu_compile_helper", "INTERNAL:",
+            "Check failed:"))
 
     # ------------------------------------------------------------------ eval
 
@@ -436,15 +460,15 @@ class Engine:
             x_dev = replicate_host_array(np.asarray(x_pad), self.mesh)
         else:
             x_dev = jnp.asarray(x_pad)
+        from ..nn.recurrent import unroll_override
         try:
-            preds = eval_fn(state.params, state.batch_stats, x_dev)
+            with unroll_override(4 if self.unroll_fallback else None):
+                preds = eval_fn(state.params, state.batch_stats, x_dev)
         except Exception as e:  # same compile-crash fallback as run_epoch
-            import os
-            if (os.environ.get("GNNRUL_LSTM_UNROLL") == "4"
-                    or not self._is_compile_crash(e)):
+            if self.unroll_fallback or not self._is_compile_crash(e):
                 raise
-            os.environ["GNNRUL_LSTM_UNROLL"] = "4"
-            self._eval_cache.clear()
-            preds = self._get_eval_fn(n_batches, ebs)(
-                state.params, state.batch_stats, x_dev)
+            self._engage_fallback("evaluate", None, e)
+            with unroll_override(4):
+                preds = self._get_eval_fn(n_batches, ebs)(
+                    state.params, state.batch_stats, x_dev)
         return np.asarray(preds[:n])

@@ -112,7 +112,8 @@ class Trainer:
                  precision: str = "fp32",
                  fused: str = "auto",
                  num_epochs_override: Optional[int] = None,
-                 profile_dir: Optional[str] = None):
+                 profile_dir: Optional[str] = None,
+                 vectorized_runs: bool = False):
         self.method = method
         self.dataset = dataset
         self.dataset_id = dataset_id
@@ -124,6 +125,18 @@ class Trainer:
         self.precision = precision
         self.fused = fused
         self.profile_dir = profile_dir
+        # Seed-parallel protocol: vmap the jitted steps over the run axis so
+        # all num_runs seeds train as ONE program (train.vectorized). The
+        # big win on latency-bound tiers where batch 100 cannot fill a chip.
+        self.vectorized_runs = vectorized_runs
+        if vectorized_runs and mesh is not None:
+            raise ValueError(
+                "--vectorized_runs is a single-device capability (it fills "
+                "one chip with the seed axis); drop --mesh or the flag")
+        if vectorized_runs and resume:
+            raise ValueError(
+                "--vectorized_runs does not support --resume (runs advance "
+                "in lockstep; resume per-run with the sequential path)")
 
         self.dataset_config = get_dataset_config(dataset)
         self.train_params = dict(train_params or hparams_bank.train_params(
@@ -232,8 +245,106 @@ class Trainer:
         self._evaluate_and_track(engine, state, trackers, run_dir, logger)
         return {k: t.best for k, t in trackers.items()}
 
+    def _build_vectorized_engine(self, seeds):
+        from .vectorized import VectorizedEngine
+        kwargs = dict(self.model_hparams)
+        if self.spec.supports_fused:
+            kwargs["fused"] = self.fused
+        return VectorizedEngine(self.spec.model_cls(**kwargs), self.spec,
+                                self.train_params, seeds=seeds,
+                                precision=self.precision)
+
+    def _train_vectorized(self) -> Dict[int, Dict]:
+        """All num_runs seeds in lockstep: one vmapped epoch dispatch and
+        one vmapped eval dispatch per epoch — same per-seed semantics,
+        same artifacts (per-run dirs/CSVs/npz/checkpoints) as the
+        sequential path."""
+        seeds = list(range(self.num_runs))
+        engine = self._build_vectorized_engine(seeds)
+        state = engine.init_state(self.data.train_x)
+
+        run_dirs, loggers, trackers = [], [], []
+        for run_id in seeds:
+            run_dir = os.path.join(self.exp_log_dir,
+                                   f"{self.method}_run_{run_id}")
+            if self.is_main:
+                os.makedirs(run_dir, exist_ok=True)
+            logger = _make_logger(run_dir, run_id, write=self.is_main)
+            logger.debug("=" * 45)
+            logger.debug(f"Dataset: {self.dataset}")
+            logger.debug(f"Sub-dataset ID: {self.dataset_id}")
+            logger.debug(f"Method: {self.method} (vectorized over "
+                         f"{self.num_runs} seeds)")
+            logger.debug(f"Run ID: {run_id}")
+            logger.debug("=" * 45)
+            if self.data.is_dict_test:
+                tr = {k: BestTracker(run_dir, key=k,
+                                     write_artifacts=self.is_main)
+                      for k in self.data.test}
+            else:
+                tr = {None: BestTracker(run_dir,
+                                        write_artifacts=self.is_main)}
+            run_dirs.append(run_dir)
+            loggers.append(logger)
+            trackers.append(tr)
+
+        num_epochs = int(self.train_params["num_epochs"])
+        shuffle = self.dataset_config.shuffle
+        n_train = int(self.data.train_x.shape[0])
+        for epoch in range(1, num_epochs + 1):
+            t0 = time.time()
+            state, losses = engine.run_epoch(
+                state, self.data.train_x, self.data.train_y, epoch,
+                shuffle=shuffle)
+            dt = time.time() - t0
+            sps = n_train * self.num_runs / max(dt, 1e-9)
+            for run_id in seeds:
+                loggers[run_id].debug(f"[Epoch : {epoch}/{num_epochs}]")
+                loggers[run_id].debug(
+                    f"loss\t: {losses[run_id]:2.4f}\t({dt:.2f}s | "
+                    f"{sps:,.0f} samples/s all-seeds)")
+
+            def eval_and_track(tx, ty, key, mr):
+                preds_all = engine.evaluate(state, tx)      # (S, n)
+                reals = ty.reshape(-1)
+                for run_id in seeds:
+                    m = calc_metrics(preds_all[run_id], reals, mr)
+                    trackers[run_id][key].update(
+                        m, preds_all[run_id], reals, mr)
+                    b = trackers[run_id][key].best
+                    tag = f" {key}," if key is not None else ","
+                    loggers[run_id].debug(
+                        f"Testing{tag} Score_v1: {b[0]}, Score_v2: {b[1]}, "
+                        f"MAE: {b[2]}, RMSE: {b[3]}")
+
+            if self.data.is_dict_test:
+                for key, (tx, ty) in self.data.test.items():
+                    mr = self.data.max_ruls[key] if isinstance(
+                        self.data.max_ruls, dict) else self.data.max_ruls
+                    eval_and_track(tx, ty, key, mr)
+            else:
+                tx, ty = self.data.test
+                eval_and_track(tx, ty, None, self.data.max_ruls)
+            for run_id in seeds:
+                loggers[run_id].debug("-" * 37)
+
+        if self.is_main:
+            for run_id in seeds:
+                save_checkpoint(
+                    os.path.join(run_dirs[run_id], "checkpoint.pkl"),
+                    engine.slice_state(state, run_id),
+                    extra={"epoch": num_epochs, "run_id": run_id,
+                           "hparams": dict(self.model_hparams),
+                           "train_params": dict(self.train_params),
+                           "vectorized_runs": self.num_runs,
+                           "fallback_events": list(engine.fallback_events)})
+        return {run_id: {k: t.best for k, t in trackers[run_id].items()}
+                for run_id in seeds}
+
     def train(self) -> Dict[int, Dict]:
         """Run all seeds; returns {run_id: {key_or_None: best 4-tuple}}."""
+        if self.vectorized_runs:
+            return self._train_vectorized()
         all_results = {}
         ckptr = AsyncCheckpointer()
         for run_id in range(self.num_runs):
@@ -265,13 +376,26 @@ class Trainer:
 
             # Resume from a periodic checkpoint if present (a capability the
             # reference lacks — its only checkpoint is final, trainer.py:125).
+            # Multi-process: checkpoints are host-0-only and the FS may not
+            # be shared, so process 0 decides whether a checkpoint exists and
+            # its payload (state AND start epoch) is broadcast to all
+            # processes — no desync, no divergent epoch loops.
             start_epoch = 1
             ckpt_path = os.path.join(run_dir, "checkpoint.pkl")
-            if self.resume and os.path.exists(ckpt_path):
-                from .checkpoint import restore_state
-                state, extra = restore_state(ckpt_path, state)
-                start_epoch = int(extra.get("epoch", 0)) + 1
-                logger.debug(f"Resumed from epoch {start_epoch - 1}")
+            if self.resume:
+                from ..parallel.multihost import is_multiprocess_mesh
+                multi = is_multiprocess_mesh(self.mesh)
+                exists = os.path.exists(ckpt_path)
+                if multi:
+                    from jax.experimental import multihost_utils
+                    exists = bool(multihost_utils.broadcast_one_to_all(
+                        np.asarray(exists)))
+                if exists:
+                    from .checkpoint import restore_state
+                    state, extra = restore_state(ckpt_path, state,
+                                                 broadcast=multi)
+                    start_epoch = int(extra.get("epoch", 0)) + 1
+                    logger.debug(f"Resumed from epoch {start_epoch - 1}")
 
             if self.data.is_dict_test:
                 trackers = {k: BestTracker(run_dir, key=k,
@@ -321,7 +445,9 @@ class Trainer:
                     # the epoch loop never blocks on checkpoint IO.
                     ckptr.save(
                         os.path.join(run_dir, "checkpoint.pkl"), state,
-                        extra={"epoch": epoch, "run_id": run_id})
+                        extra={"epoch": epoch, "run_id": run_id,
+                               "fallback_events": list(
+                                   engine.fallback_events)})
 
             if start_epoch > num_epochs:
                 # Resume found a checkpoint at (or past) the final epoch:
@@ -332,11 +458,16 @@ class Trainer:
 
             if self.is_main:
                 ckptr.wait()
+                if engine.fallback_events:
+                    logger.debug(
+                        f"compile-crash fallback engaged this run: "
+                        f"{engine.fallback_events}")
                 save_checkpoint(
                     os.path.join(run_dir, "checkpoint.pkl"), state,
                     extra={"epoch": num_epochs, "run_id": run_id,
                            "hparams": dict(self.model_hparams),
-                           "train_params": dict(self.train_params)})
+                           "train_params": dict(self.train_params),
+                           "fallback_events": list(engine.fallback_events)})
             all_results[run_id] = {k: t.best for k, t in trackers.items()}
         ckptr.close()
         return all_results

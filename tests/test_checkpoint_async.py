@@ -93,3 +93,74 @@ def test_atomic_write_never_corrupts_previous(tmp_path, monkeypatch):
     monkeypatch.undo()
     payload = load_checkpoint(path)
     assert payload["extra"]["epoch"] == 1
+
+
+def test_save_restore_preserves_template_sharding():
+    """Restored leaves carry the TEMPLATE's NamedSharding (ADVICE r4:
+    restore used to rebuild with plain jnp.asarray, silently dropping
+    param sharding on a TP mesh), and _to_host assembles sharded leaves
+    from addressable shards — no cross-process collective."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from gnn_rul_tpu.parallel.mesh import make_mesh
+    import tempfile
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    shard = NamedSharding(mesh, P(None, "model"))
+    repl = NamedSharding(mesh, P())
+    w = jax.device_put(jnp.arange(16 * 8, dtype=jnp.float32).reshape(16, 8),
+                       shard)
+    mu = jax.device_put(jnp.ones((16, 8), jnp.float32), shard)
+    state = TrainState(
+        params={"w": w},
+        batch_stats={"bn": {"mean": jax.device_put(
+            jnp.zeros((8,), jnp.float32), repl)}},
+        opt_state={"mu": mu}, step=jnp.asarray(5, jnp.int32))
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ckpt.pkl")
+        save_checkpoint(path, state, extra={"epoch": 5})
+        template = TrainState(
+            params={"w": jax.device_put(jnp.zeros((16, 8)), shard)},
+            batch_stats={"bn": {"mean": jax.device_put(
+                jnp.zeros((8,)), repl)}},
+            opt_state={"mu": jax.device_put(jnp.zeros((16, 8)), shard)},
+            step=jnp.asarray(0, jnp.int32))
+        restored, extra = restore_state(path, template)
+
+    assert extra["epoch"] == 5
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.asarray(w))
+    # The template's sharding survives the round-trip.
+    assert restored.params["w"].sharding == shard
+    assert restored.opt_state["mu"].sharding == shard
+    assert restored.batch_stats["bn"]["mean"].sharding == repl
+
+
+def test_to_host_rejects_cross_process_partitioning(monkeypatch):
+    """A leaf whose addressable shards do NOT cover the global value must
+    raise (never silently write a partial array, never collective)."""
+    from gnn_rul_tpu.train import checkpoint as ck
+
+    class FakeShard:
+        def __init__(self, index, data):
+            self.index = index
+            self.data = data
+
+    class FakeLeaf:
+        shape = (4, 2)
+        dtype = np.float32
+        size = 8
+        is_fully_addressable = False
+        is_fully_replicated = False
+        addressable_shards = [
+            FakeShard((slice(0, 2), slice(0, 2)), np.ones((2, 2)))]
+
+    import jax
+    monkeypatch.setattr(jax, "Array", (FakeLeaf,), raising=False)
+    try:
+        ck._to_host({"w": FakeLeaf()})
+    except ValueError as e:
+        assert "addressable shards cover" in str(e)
+    else:
+        raise AssertionError("partial coverage must raise")

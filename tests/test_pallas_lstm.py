@@ -23,14 +23,22 @@ def test_recurrence_parity_fwd_bwd(t, b, h):
     xg = jnp.asarray(rng.normal(size=(t, 2, b, 4 * h)), jnp.float32)
     w = jnp.asarray(rng.normal(size=(2, h, 4 * h)) * 0.2, jnp.float32)
 
-    ys_ref = lstm_recurrence_reference(xg, w)
-    ys_pal = lstm_recurrence_pallas(xg, w, True)
+    ys_ref, cf_ref = lstm_recurrence_reference(xg, w)
+    ys_pal, cf_pal = lstm_recurrence_pallas(xg, w, True)
     np.testing.assert_allclose(np.asarray(ys_pal), np.asarray(ys_ref),
                                atol=1e-6, rtol=1e-6)
+    # Final cell states are real values on the Pallas path too (ADVICE r4:
+    # they used to come back as None).
+    np.testing.assert_allclose(np.asarray(cf_pal), np.asarray(cf_ref),
+                               atol=1e-6, rtol=1e-6)
 
+    # Gradient parity with BOTH outputs consumed — the c_fin cotangent
+    # must seed the reversed cell sweep exactly like the scan's.
     def loss(fn):
-        return jax.grad(
-            lambda a, b_: jnp.sum(jnp.sin(fn(a, b_))), argnums=(0, 1))
+        def f(a, b_):
+            ys, cf = fn(a, b_)
+            return jnp.sum(jnp.sin(ys)) + jnp.sum(jnp.cos(cf))
+        return jax.grad(f, argnums=(0, 1))
 
     gr = loss(lstm_recurrence_reference)(xg, w)
     gp = loss(lambda a, b_: lstm_recurrence_pallas(a, b_, True))(xg, w)
@@ -47,8 +55,11 @@ def test_bilstm_fused_pallas_impl_matches_scan():
         def __call__(self, x):
             pf = _LSTMParams(16, name="f")(x.shape[-1])
             pb = _LSTMParams(16, name="b")(x.shape[-1])
-            f, b, _ = bilstm_fused(x, pf, pb, impl=self.impl)
-            return f + b
+            f, b, ((hf, cf), (hb, cb)) = bilstm_fused(x, pf, pb,
+                                                      impl=self.impl)
+            # Consume hidden outputs AND final cell states: the contract is
+            # identical on every impl.
+            return f + b + (cf + cb)[:, None, :]
 
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(6, 11, 9)), jnp.float32)
