@@ -1,6 +1,6 @@
 # Developer entry points. The test split is documented in pytest.ini.
 
-.PHONY: test test-all native bench bench-check dryrun
+.PHONY: test test-all native bench bench-check dryrun accuracy bench-scaling
 
 test:        ## fast suite (~10 min on this container's 2 CPUs)
 	python -m pytest -m "not slow" -q
@@ -20,3 +20,12 @@ bench-check: ## fail if the flagship drops >5% vs the best in BENCH_HISTORY.json
 dryrun:      ## multi-chip sharding compile/exec check on a virtual mesh
 	XLA_FLAGS=--xla_force_host_platform_device_count=8 \
 	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+accuracy:    ## full 10-row accuracy matrix, both frameworks, 5 seeds x 81 epochs.
+             ## Default: seeded synthetic data (no raw datasets in container).
+             ## With DATA_ROOT=<raw Datasets/ root>: REAL data through the real
+             ## offline preprocessors (the asterisk-removal run).
+	python bench_accuracy.py $(if $(DATA_ROOT),--data_root $(DATA_ROOT))
+
+bench-scaling: ## DP weak-scaling curve (virtual CPU mesh here; same command on real multi-chip)
+	python bench_scaling.py

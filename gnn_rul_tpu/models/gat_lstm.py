@@ -38,6 +38,9 @@ class GATLSTM(nn.Module):
     dropout: float = 0.1
     alpha: float = 0.1
     fused: str = "auto"
+    # Node-sharded attention panel (parallel.graph_partition.
+    # node_sharded_gat): splits the per-patch GAT rows over a mesh.
+    gat_fn: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -51,6 +54,7 @@ class GATLSTM(nn.Module):
             h = GraphAttentionLayer(
                 out_dim, self.dropout, negative_slope=self.alpha,
                 final_leaky_relu=True, fused=self.fused,
+                gat_fn=self.gat_fn,
                 name=f"gat{i}")(h, adj, train=train)
 
         for i, hid in enumerate(self.lstm_hidden_dim):

@@ -25,10 +25,14 @@ class ClusterAssignment(nn.Module):
     ``S = softmax(W [A ; sigmoid(Lin(A X))], axis=-2)``."""
     hidden_dim: int
     out_nodes: int
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, x, adj):
-        ax = jnp.einsum("...nm,...md->...nd", adj, x)
+        if self.spmm_fn is not None:
+            ax = self.spmm_fn(adj, x)
+        else:
+            ax = jnp.einsum("...nm,...md->...nd", adj, x)
         h = jax.nn.sigmoid(Linear(self.hidden_dim,
                                   name="dimension_mapping")(ax))
         cat = jnp.concatenate([adj, h], axis=-1)
@@ -41,15 +45,18 @@ class GraphClassificationBlock(nn.Module):
     ``X' = S^T X``, ``A' = S^T A S``, then 1-hop MPNN."""
     out_dim: int
     out_nodes: int
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, adj, x):
         s = ClusterAssignment(self.out_nodes, self.out_nodes,
+                              spmm_fn=self.spmm_fn,
                               name="Graph_Clustering")(x, adj)
         st = jnp.swapaxes(s, -1, -2)
         x_pool = jnp.einsum("...kn,...nd->...kd", st, x)
         a_pool = jnp.einsum("...kn,...nm,...mj->...kj", st, adj, s)
-        out = MPNNmk(self.out_dim, k=1, name="Message_Passing")(x_pool, a_pool)
+        out = MPNNmk(self.out_dim, k=1, spmm_fn=self.spmm_fn,
+                     name="Message_Passing")(x_pool, a_pool)
         return a_pool, out
 
 
@@ -63,6 +70,11 @@ class HierCorrPoolCore(nn.Module):
     encoder_conv_kernel: int
     num_nodes_out: int
     encoder_kernel_size: int = 8
+    # Node-sharded aggregation hook ((adj, x) -> A @ X over a device mesh;
+    # parallel.graph_partition.node_sharded_spmm). Reference math hooked:
+    # models/HierCorrPool/Model_Base.py:66-96 (MPNN) and :102-117 (A X in
+    # the cluster-assignment matrix).
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, xp, train: bool = False):
@@ -85,7 +97,7 @@ class HierCorrPoolCore(nn.Module):
         adj = dot_graph(gc)
         _, out = GraphClassificationBlock(
             self.embedding_dim * eck * 3, self.num_nodes_out,
-            name="gc1")(adj, gc)
+            spmm_fn=self.spmm_fn, name="gc1")(adj, gc)
 
         h = jax.nn.leaky_relu(
             Linear(self.embedding_dim * 3, name="fc_0")(out.reshape(b, -1)),
@@ -103,6 +115,7 @@ class HierCorrPool(nn.Module):
     num_nodes: int
     encoder_conv_kernel: int
     num_nodes_out: int
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,4 +125,5 @@ class HierCorrPool(nn.Module):
         xp = jnp.transpose(xp, (0, 2, 1, 3))  # (B, T, N, P)
         return HierCorrPoolCore(
             self.hidden_dim, self.embedding_dim, self.encoder_conv_kernel,
-            self.num_nodes_out, name="core")(xp, train=train)
+            self.num_nodes_out, spmm_fn=self.spmm_fn,
+            name="core")(xp, train=train)

@@ -24,6 +24,7 @@ class HierCorrPoolBearing(nn.Module):
     nperseg: int
     encoder_conv_kernel: int
     num_nodes_out: int
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -36,4 +37,5 @@ class HierCorrPoolBearing(nn.Module):
 
         return HierCorrPoolCore(
             self.hidden_dim, self.embedding_dim, self.encoder_conv_kernel,
-            self.num_nodes_out, name="core")(xp, train=train)
+            self.num_nodes_out, spmm_fn=self.spmm_fn,
+            name="core")(xp, train=train)

@@ -95,6 +95,10 @@ class LOGOCore(nn.Module):
     input_dim: int  # D
     hidden_dim: int
     gamma: float = 1.0
+    # Node-sharded aggregation hook ((adj, x) -> A @ X over a device mesh;
+    # parallel.graph_partition.node_sharded_spmm). Hooks the reference
+    # MPNN_mk aggregation (models/LOGO/Model.py:130-160).
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, xp, global_corr, train: bool = False):
@@ -108,7 +112,8 @@ class LOGOCore(nn.Module):
         g = g.reshape(b * t, n, n)
         fused = GraphAttenBlock(n, name="graph_attn_blk")(local_corr, g)
 
-        mp = MPNNmk(3 * self.input_dim, k=1, name="MPNN")(mapped, fused)
+        mp = MPNNmk(3 * self.input_dim, k=1, spmm_fn=self.spmm_fn,
+                    name="MPNN")(mapped, fused)
 
         # Reference layout quirk: (B, T*N, d) -> transpose(0,1) ->
         # (T*N, B, d) fed to a batch_first LSTM (recurrence over B).
@@ -135,6 +140,7 @@ class LOGO(nn.Module):
     num_nodes: int
     hidden_dim: int
     gamma: float = 1.0
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -146,5 +152,6 @@ class LOGO(nn.Module):
         xp = x.reshape(b, n, t, p)
         xp = jnp.transpose(xp, (0, 2, 1, 3))  # (B, T, N, P)
 
-        return LOGOCore(p, self.hidden_dim, self.gamma, name="core")(
+        return LOGOCore(p, self.hidden_dim, self.gamma,
+                        spmm_fn=self.spmm_fn, name="core")(
             xp, global_corr, train=train)

@@ -25,6 +25,7 @@ class LOGOBearing(nn.Module):
     nperseg: int
     hidden_dim: int
     gamma: float = 1.0
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -40,5 +41,6 @@ class LOGOBearing(nn.Module):
         full = jnp.swapaxes(xp, 1, 2).reshape(b, n, -1)
         global_corr = pearson_graph(full)
 
-        return LOGOCore(f, self.hidden_dim, self.gamma, name="core")(
+        return LOGOCore(f, self.hidden_dim, self.gamma,
+                        spmm_fn=self.spmm_fn, name="core")(
             xp, global_corr, train=train)

@@ -48,6 +48,7 @@ class STFA(nn.Module):
     num_heads: int
     dropout: float
     fused: str = "auto"
+    gat_fn: object = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -59,7 +60,7 @@ class STFA(nn.Module):
         adj = prior_knowledge_graph(dtype=x.dtype)
         heads = [
             GraphAttentionLayer(self.output_dim, self.dropout,
-                                fused=self.fused,
+                                fused=self.fused, gat_fn=self.gat_fn,
                                 name=f"attention_{i}")(xp, adj, train=train)
             for i in range(self.num_heads)
         ]

@@ -38,6 +38,10 @@ class GraphAttentionLayer(nn.Module):
     # attention dropout is inactive (eval, or dropout=0) — dropout needs
     # the materialized panel anyway.
     fused: str = "auto"
+    # Node-sharded panel hook (parallel.graph_partition.node_sharded_gat):
+    # splits the query rows of the dense attention panel over a device
+    # mesh. Takes precedence over the fused kernel when set.
+    gat_fn: object = None
 
     @nn.compact
     def __call__(self, h, adj, train: bool = False):
@@ -50,6 +54,14 @@ class GraphAttentionLayer(nn.Module):
         f1 = wh @ a1
         f2 = wh @ a2
         record_edges(wh.shape[:-1] + (wh.shape[-2],))
+        if self.gat_fn is not None:
+            drop = self.dropout if train else 0.0
+            rng = self.make_rng("dropout") if drop > 0.0 else None
+            out = self.gat_fn(wh, f1, f2, adj, bias[0], self.negative_slope,
+                              dropout=drop, rng=rng)
+            if self.final_leaky_relu:
+                return jax.nn.leaky_relu(out, 0.01)
+            return out
         if self.fused != "off" and (not train or self.dropout == 0.0):
             from ..ops.pallas.fused_gat import fused_gat_trainable
             out = fused_gat_trainable(wh, f1, f2, adj, bias[0],

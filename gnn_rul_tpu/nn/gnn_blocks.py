@@ -20,10 +20,13 @@ class MPNNmk(nn.Module):
     """
     out_dim: int
     k: int = 1
+    # Aggregation-strategy injection (parallel.graph_partition hooks):
+    # (adj, x) -> A @ X with the node axis sharded over a mesh.
+    spmm_fn: object = None
 
     @nn.compact
     def __call__(self, x, adj):
-        hops = khop_aggregate(adj, x, self.k)
+        hops = khop_aggregate(adj, x, self.k, spmm_fn=self.spmm_fn)
         out = sum(Linear(self.out_dim, name=f"theta{i}")(h)
                   for i, h in enumerate(hops))
         return jax.nn.leaky_relu(out, 0.01)

@@ -24,17 +24,23 @@ def spmm(adj: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...nm,...md->...nd", adj, x)
 
 
-def khop_aggregate(adj: jnp.ndarray, x: jnp.ndarray, k: int) -> List[jnp.ndarray]:
+def khop_aggregate(adj: jnp.ndarray, x: jnp.ndarray, k: int,
+                   spmm_fn=None) -> List[jnp.ndarray]:
     """Return ``[A X, A^2 X, ..., A^k X]`` with ``A^j`` chained as in the
     reference (``A_ = A_ @ A`` then ``A_ @ X`` — reference
     models/FC_STGNN/Model_Base.py:89-94).
+
+    ``spmm_fn`` overrides the aggregation product (e.g.
+    parallel.graph_partition.node_sharded_spmm to split the node axis over
+    a device mesh); the A-power chaining stays local.
     """
+    agg = spmm_fn if spmm_fn is not None else spmm
     outs = []
     a_pow = adj
     for j in range(k):
         if j > 0:
             a_pow = jnp.einsum("...nm,...mk->...nk", a_pow, adj)
-        outs.append(spmm(a_pow, x))
+        outs.append(agg(a_pow, x))
     return outs
 
 

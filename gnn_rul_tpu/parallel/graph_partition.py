@@ -27,6 +27,129 @@ except ImportError:  # older jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def spmm_hook_kwargs(method: str, mesh, axis: str = "model") -> dict:
+    """Constructor kwargs routing ``method``'s graph aggregation through
+    the node-sharded engine (Trainer injects these when --mesh model>1).
+
+    Hook shapes per method family:
+      - FC_STGNN: full dot-graph construction + decay mask + SpMM
+        (``spmm_fn(h, nodes, mask=...)`` — :func:`node_sharded_dot_graph_spmm`)
+      - LOGO / LOGO_bearing / HierCorrPool / HierCorrPool_bearing: plain
+        ``A @ X`` on an explicit adjacency (``spmm_fn(adj, x)`` —
+        :func:`node_sharded_spmm`; reference MPNN_mk
+        models/LOGO/Model.py:130-160, Model_Base.py:66-96)
+      - GAT_LSTM / STFA: the dense pairwise-attention panel
+        (``gat_fn(...)`` — :func:`node_sharded_gat`; reference
+        models/STFA/Model.py:11-45, models/GAT_LSTM/Model.py:74-110)
+    """
+    import functools
+    if method == "FC_STGNN":
+        return {"spmm_fn": functools.partial(
+            node_sharded_dot_graph_spmm, mesh=mesh, axis=axis)}
+    if method in ("LOGO", "LOGO_bearing", "HierCorrPool",
+                  "HierCorrPool_bearing"):
+        return {"spmm_fn": functools.partial(
+            node_sharded_spmm, mesh=mesh, axis=axis)}
+    if method in ("GAT_LSTM", "STFA"):
+        return {"gat_fn": functools.partial(
+            node_sharded_gat, mesh=mesh, axis=axis)}
+    raise ValueError(f"no node-sharded hook for method {method!r}")
+
+
+def node_sharded_spmm(adj, x, mesh, axis: str = "model"):
+    """Plain dense aggregation ``A @ X`` with the node (row) axis sharded.
+
+    adj (B, N, N) or (N, N); x (B, N, D) -> (B, N, D). Each device owns a
+    contiguous block of adjacency ROWS and output rows; node features are
+    all-gathered once (the boundary exchange, riding ICI). N is padded to
+    a multiple of the axis size with zero rows/cols — exact: padded rows
+    only produce padded outputs (sliced off), padded columns multiply
+    zero features.
+
+    This is the engine behind the MPNN_mk family (reference
+    models/LOGO/Model.py:130-160 and 5 other copies) when the adjacency is
+    already materialized (fusion gate / cluster pooling outputs).
+    """
+    k = mesh.shape[axis]
+    b, n, d = x.shape
+    if adj.ndim == 2:
+        adj = jnp.broadcast_to(adj, (b, n, n))
+    n_pad = -(-n // k) * k
+    pad = n_pad - n
+    if pad:
+        adj = jnp.pad(adj, ((0, 0), (0, pad), (0, pad)))
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+
+    def local(a_blk, x_blk):
+        x_all = jax.lax.all_gather(x_blk, axis, axis=1, tiled=True)
+        return jnp.einsum("bnm,bmd->bnd", a_blk, x_all)
+
+    spec = P(None, axis, None)
+    out = shard_map(
+        local, mesh=mesh, in_specs=(spec, spec), out_specs=spec)(
+        jax.lax.with_sharding_constraint(adj, NamedSharding(mesh, spec)),
+        jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec)))
+    return out[:, :n] if pad else out
+
+
+def node_sharded_gat(wh, f1, f2, adj, bias, negative_slope, mesh,
+                     axis: str = "model", dropout: float = 0.0, rng=None):
+    """Dense-GAT attention panel with the query (row) axis sharded.
+
+    Reference math (models/STAGNN/Model.py:26-60 — the nn.attention
+    factored form): ``e_ij = leaky_relu(f1_i + f2_j + bias)``;
+    ``attn = dropout(softmax_j(e)) * adj``; ``out = attn @ Wh``.
+
+    Each device holds a row block of queries + adjacency rows, all-gathers
+    (f2, Wh) once, and computes its (N/k, N) panel locally — the full
+    (N, N) attention matrix is never resident on one device. Rows are
+    padded to a shard boundary; padded COLUMNS are masked to -1e30 before
+    the softmax so they cannot enter real rows' normalizers.
+
+    ``dropout``/``rng``: attention dropout sampled per row block
+    (fold_in(rng, device_index)) — same Bernoulli(1-p)/(1-p) law as the
+    local path, different stream (documented divergence; parity tests run
+    with dropout inactive).
+    """
+    k = mesh.shape[axis]
+    b, n, d = wh.shape
+    if adj.ndim == 2:
+        adj = jnp.broadcast_to(adj, (b, n, n))
+    n_pad = -(-n // k) * k
+    pad = n_pad - n
+    if pad:
+        wh = jnp.pad(wh, ((0, 0), (0, pad), (0, 0)))
+        f1 = jnp.pad(f1, ((0, 0), (0, pad)))
+        f2 = jnp.pad(f2, ((0, 0), (0, pad)))
+        adj = jnp.pad(adj, ((0, 0), (0, pad), (0, pad)))
+
+    def local(wh_blk, f1_blk, f2_blk, a_blk):
+        wh_all = jax.lax.all_gather(wh_blk, axis, axis=1, tiled=True)
+        f2_all = jax.lax.all_gather(f2_blk, axis, axis=1, tiled=True)
+        e = f1_blk[:, :, None] + f2_all[:, None, :] + bias
+        e = jax.nn.leaky_relu(e, negative_slope)
+        if pad:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (1, 1, n_pad), 2)
+            e = jnp.where(cols >= n, jnp.asarray(-1e30, e.dtype), e)
+        attn = jax.nn.softmax(e, axis=-1)
+        if dropout > 0.0 and rng is not None:
+            dev_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            keep = jax.random.bernoulli(dev_rng, 1.0 - dropout, attn.shape)
+            attn = jnp.where(keep, attn / (1.0 - dropout), 0.0)
+        attn = attn * a_blk
+        return jnp.einsum("bnm,bmd->bnd", attn, wh_all)
+
+    row = P(None, axis, None)
+    vec = P(None, axis)
+    out = shard_map(
+        local, mesh=mesh, in_specs=(row, vec, vec, row), out_specs=row)(
+        jax.lax.with_sharding_constraint(wh, NamedSharding(mesh, row)),
+        jax.lax.with_sharding_constraint(f1, NamedSharding(mesh, vec)),
+        jax.lax.with_sharding_constraint(f2, NamedSharding(mesh, vec)),
+        jax.lax.with_sharding_constraint(adj, NamedSharding(mesh, row)))
+    return out[:, :n] if pad else out
+
+
 def node_sharded_dot_graph_spmm(x, v, mesh, axis: str = "model",
                                 mask=None):
     """x: (B, N, D) similarity features; v: (B, N, F) values -> (B, N, F).

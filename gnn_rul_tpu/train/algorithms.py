@@ -30,10 +30,12 @@ class AlgorithmSpec:
     # qualify; LOGO/HierCorrPool consume the adjacency directly (fusion
     # gate / cluster assignment), so an output-fused kernel cannot help.
     supports_fused: bool = False
-    # Model exposes a ``spmm_fn`` constructor hook: its graph aggregation
-    # can be routed through the node-sharded engine
-    # (parallel.graph_partition) to split the dense (N, N) algebra over
-    # the mesh's 'model' axis.
+    # Model exposes a node-sharded aggregation hook (``spmm_fn`` or
+    # ``gat_fn`` constructor kwarg — see
+    # parallel.graph_partition.spmm_hook_kwargs): its dense (N, N) graph
+    # algebra can be split over the mesh's 'model' axis. Covers the full
+    # dot-graph chain (FC_STGNN), plain MPNN SpMM (LOGO/HierCorrPool
+    # families) and the dense GAT panel (GAT_LSTM/STFA).
     supports_spmm_fn: bool = False
 
 
@@ -41,10 +43,13 @@ class AlgorithmSpec:
 _TABLE = {
     "FC_STGNN": ("fc_stgnn", "FCSTGNN",
                  {"supports_fused": True, "supports_spmm_fn": True}),
-    "HierCorrPool": ("hiercorrpool", "HierCorrPool", {}),
-    "LOGO": ("logo", "LOGO", {"aux_weight": "theta"}),
+    "HierCorrPool": ("hiercorrpool", "HierCorrPool",
+                     {"supports_spmm_fn": True}),
+    "LOGO": ("logo", "LOGO",
+             {"aux_weight": "theta", "supports_spmm_fn": True}),
     "ASTGCNN": ("astgcnn", "ASTGCNN", {}),
-    "STFA": ("stfa", "STFA", {"supports_fused": True}),
+    "STFA": ("stfa", "STFA",
+             {"supports_fused": True, "supports_spmm_fn": True}),
     "ST_Conv": ("st_conv", "STConv", {}),
     "HAGCN": ("hagcn", "HAGCN", {"aux_weight": "alpha"}),
     "RGCNU": ("rgcnu", "RGCNU", {"aux_weight": "__zero__"}),
@@ -55,13 +60,16 @@ _TABLE = {
     "SAGCN": ("sagcn", "SAGCN", {}),
     "STNet": ("stnet", "STNet", {"aux_weight": "__one__"}),
     "ST_GCN": ("st_gcn", "STGCN", {}),
-    "GAT_LSTM": ("gat_lstm", "GATLSTM", {"supports_fused": True}),
+    "GAT_LSTM": ("gat_lstm", "GATLSTM",
+                 {"supports_fused": True, "supports_spmm_fn": True}),
     "GDAGDL": ("gdagdl", "GDAGDL", {"aux_weight": "__one__", "supports_fused": True}),
     "STMSGCN": ("stmsgcn", "STMSGCN", {}),
     "AGCN_TF": ("agcn_tf", "AGCNTF", {}),
     "LOGO_bearing": ("logo_bearing", "LOGOBearing",
-                     {"aux_weight": "theta", "per_batch_multistep": True}),
-    "HierCorrPool_bearing": ("hiercorrpool_bearing", "HierCorrPoolBearing", {}),
+                     {"aux_weight": "theta", "per_batch_multistep": True,
+                      "supports_spmm_fn": True}),
+    "HierCorrPool_bearing": ("hiercorrpool_bearing", "HierCorrPoolBearing",
+                             {"supports_spmm_fn": True}),
 }
 
 

@@ -152,6 +152,12 @@ class Trainer:
         from ..parallel.multihost import is_main_process
         self.is_main = is_main_process()
 
+        if precision == "bf16":
+            from .precision import bf16_guidance
+            msg = bf16_guidance(method, dataset)
+            if msg and self.is_main:
+                logging.getLogger(__name__).warning(msg)
+
         self.exp_log_dir = os.path.join(save_dir, experiment_description,
                                         run_description)
         if self.is_main:
@@ -165,13 +171,12 @@ class Trainer:
                    if self.mesh is not None else 1)
         if n_model > 1 and self.spec.supports_spmm_fn:
             # Route the model's graph aggregation through the node-sharded
-            # engine: the dense (N, N) space-time graph algebra splits over
-            # the 'model' axis (all-gather of node features, local SDDMM/
-            # softmax/SpMM panels).
-            import functools
-            from ..parallel.graph_partition import node_sharded_dot_graph_spmm
-            kwargs["spmm_fn"] = functools.partial(
-                node_sharded_dot_graph_spmm, mesh=self.mesh, axis="model")
+            # engine: the dense (N, N) graph algebra splits over the
+            # 'model' axis (all-gather boundary exchange, local SDDMM/
+            # softmax/SpMM/attention panels). The hook shape is
+            # method-specific — see graph_partition.spmm_hook_kwargs.
+            from ..parallel.graph_partition import spmm_hook_kwargs
+            kwargs.update(spmm_hook_kwargs(self.method, self.mesh))
         return Engine(self.spec.model_cls(**kwargs), self.spec,
                       self.train_params, seed=seed, mesh=self.mesh,
                       precision=self.precision)
