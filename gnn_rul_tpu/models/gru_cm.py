@@ -20,18 +20,18 @@ from ..ops.edge_count import record_edges
 class GNNLayer(nn.Module):
     """Edge MLP + sum aggregation + node MLP (models/GRU_CM/Model.py:6-40).
 
-    ``fused`` routes the relu-edge-panel + sum through the Pallas kernel
-    (ops/pallas/fused_edge_mlp.py): the (B, L, N, N, d) panel stays in
-    VMEM instead of round-tripping HBM — the measured bottleneck of this
-    tier. "auto" uses it on TPU; numerics identical (same relu/sum order).
+    The relu-edge panel stays on the XLA path by the r5 retirement
+    verdict: a Pallas panel kernel won standalone fp32 (1.35x) but LOST
+    end-to-end at every reference shape (XLA fuses the panel into its
+    producers/consumers; 95.6k vs 83.9k samples/s) and its bf16 backward
+    did not compile — full measurement history in BASELINE.md (kernel
+    removed; see git history for ops/pallas/fused_edge_mlp.py).
     """
     output_dim: int
-    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         # x: (B, L, N, f)
-        import jax
         b, l, n, f = x.shape
         kernel = self.param("edge_kernel", torch_linear_kernel,
                             (2 * f, self.output_dim))
@@ -41,20 +41,8 @@ class GNNLayer(nn.Module):
         p1 = jnp.einsum("blnf,fo->blno", x, kernel[:f])
         p2 = jnp.einsum("blnf,fo->blno", x, kernel[f:])
         record_edges(x.shape[:-1] + (x.shape[-2],))
-        # Measured: "auto" stays on the XLA path — end-to-end the panel
-        # fuses into its producers and beats the kernel at reference sizes
-        # (95.6k vs 83.9k samples/s; see ops/pallas/fused_edge_mlp.py's
-        # measured verdict). "on" forces the kernel (the scale path).
-        on_tpu = jax.default_backend() not in ("cpu", "gpu")
-        if self.fused == "on":
-            from ..ops.pallas.fused_edge_mlp import edge_mlp_sum
-            d = self.output_dim
-            edge_sum = edge_mlp_sum(
-                p1.reshape(b * l, n, d), (p2 + bias).reshape(b * l, n, d),
-                not on_tpu).reshape(b, l, n, d)
-        else:
-            edge = nn.relu(p1[..., :, None, :] + p2[..., None, :, :] + bias)
-            edge_sum = jnp.sum(edge, axis=3)  # sum over j
+        edge = nn.relu(p1[..., :, None, :] + p2[..., None, :, :] + bias)
+        edge_sum = jnp.sum(edge, axis=3)  # sum over j
         node = jnp.concatenate([x, edge_sum], axis=-1)
         return nn.relu(Linear(self.output_dim, name="node_mlp")(node))
 
@@ -64,7 +52,6 @@ class GRUCM(nn.Module):
     num_nodes: int
     time_length: int
     gru_hidden_dim: int = 128
-    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -75,7 +62,7 @@ class GRUCM(nn.Module):
         h = Linear(hidden_dim, name="input_linear")(h)
         h = Dropout(0.2, name="dropout1")(h, train=train)
 
-        h = GNNLayer(hidden_dim, fused=self.fused, name="gnn")(h)
+        h = GNNLayer(hidden_dim, name="gnn")(h)
         h = Dropout(0.2, name="dropout2")(h, train=train)
 
         h = jnp.max(h, axis=2)  # (B, L, hidden)

@@ -156,10 +156,15 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
     (2, B, H) @ (2, H, 4H) — one MXU dispatch per step instead of two.
     Numerically identical to running the directions separately.
 
-    ``impl``: "auto"/"scan" = lax.scan with the measured unroll policy
-    (full unroll on TPU at T<=128 — the fastest path on v5e, see
-    ops/pallas/fused_lstm.py's measured verdict); "pallas" = the Pallas
-    whole-recurrence kernel (bit-exact; the scale path for very long T).
+    ``impl``: "scan" = lax.scan with the measured unroll policy (full
+    unroll on TPU at T<=128 — the fastest path on v5e); "pallas" = the
+    Pallas whole-recurrence kernel (bit-exact). "auto" = measured
+    dispatch: the kernel WINS training at long T where full unroll stops
+    being compilable and the scan pays loop overhead — fwd+bwd on v5e
+    (bench_profile --target lstm, H=30): T=256 3.67 vs 4.91 ms (1.34x),
+    T=512 3.99 vs 6.12 (1.53x), T=1024 5.46 vs 6.65 (1.22x) — so "auto"
+    takes the kernel on TPU at T >= 256 and the scan below (every
+    reference config has T <= 100 and keeps the scan).
 
     x: (B, T, D). Returns (ys_fwd, ys_bwd) each (B, T, H), plus
     ((hf, cf), (hb, cb)) final states — identical contract on every impl
@@ -178,6 +183,12 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
 
     w_hh = jnp.stack([w_hh_f, w_hh_b])  # (2, H, 4H)
 
+    if (impl == "auto" and t >= 256
+            and jax.default_backend() not in ("cpu", "gpu")
+            and _UNROLL_OVERRIDE.get() is None):
+        # The engine's compile-crash fallback (unroll_override) also demotes
+        # the kernel dispatch back to the conservative scan.
+        impl = "pallas"
     if impl == "pallas":
         from ..ops.pallas.fused_lstm import lstm_recurrence_pallas
         interpret = jax.default_backend() in ("cpu", "gpu")

@@ -52,11 +52,20 @@ def _pad8(n: int) -> int:
 
 
 def _time_block(t: int, bytes_per_step: int,
-                budget: int = 10 * 1024 * 1024) -> int:
-    """Largest divisor of t whose streamed blocks fit the VMEM budget
-    (~10 MB leaves room for weights/scratch under the 16 MB scoped
-    limit)."""
-    target = max(1, min(t, budget // max(bytes_per_step, 1)))
+                budget: int = 5 * 1024 * 1024, max_unroll: int = 10) -> int:
+    """Largest divisor of t whose streamed blocks fit the VMEM budget.
+
+    Two constraints bound the block:
+      - Pallas DOUBLE-BUFFERS every streamed block, so the effective VMEM
+        cost is ~2x the block bytes; a 5 MB single-buffer budget keeps
+        blocks + weights + scratch under the 16 MB scoped limit.
+      - The kernel body unrolls ``tblk`` time steps as straight-line code,
+        and Mosaic's scoped STACK allocation grows with the unrolled
+        temporaries — measured: tblk=32 at B=100 (and tblk=64 at B=32)
+        dies with "Scoped allocation 20.06M exceeded 16.00M" regardless
+        of block-byte budget, while the production tblk=10 compiles. The
+        ``max_unroll`` cap keeps the stack bounded."""
+    target = max(1, min(t, max_unroll, budget // max(bytes_per_step, 1)))
     for cand in range(target, 0, -1):
         if t % cand == 0:
             return cand

@@ -46,7 +46,8 @@ def make_bundle(n_train: int = 52, n_test: int = 12):
     return DataBundle(x, y, (tx, ty), 125.0)
 
 
-def run_training(outdir: str, epochs: int = 2, n_model: int = 1):
+def run_training(outdir: str, epochs: int = 2, n_model: int = 1,
+                 resume: bool = False):
     """The common body: build mesh over ALL global devices, train, return
     (results, process_index). Callable from a single process too (mesh of
     local devices) — the multihost test compares both."""
@@ -60,7 +61,7 @@ def run_training(outdir: str, epochs: int = 2, n_model: int = 1):
         method="FC_STGNN", dataset="CMAPSS", dataset_id="FD001",
         data=data, save_dir=outdir,
         experiment_description="dist", run_description="run",
-        num_runs=1, mesh=mesh, checkpoint_every=1,
+        num_runs=1, mesh=mesh, checkpoint_every=1, resume=resume,
         train_params={"num_epochs": epochs, "batch_size": 16,
                       "learning_rate": 1e-3, "weight_decay": 1e-4},
     )
@@ -76,6 +77,10 @@ def main(argv=None):
     ap.add_argument("--outdir", required=True)
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--n_model", type=int, default=1)
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the (host-0-only) periodic "
+                         "checkpoint; exercises the cross-process "
+                         "restore/start-epoch broadcast")
     args = ap.parse_args(argv)
 
     # CPU platform must win over any force-registered TPU plugin; the env
@@ -97,7 +102,7 @@ def main(argv=None):
     # can verify that only host 0 actually wrote anything.
     save_dir = os.path.join(args.outdir, f"artifacts_p{args.pid}")
     results, proc = run_training(save_dir, epochs=args.epochs,
-                                 n_model=args.n_model)
+                                 n_model=args.n_model, resume=args.resume)
 
     payload = {
         "process_index": proc,

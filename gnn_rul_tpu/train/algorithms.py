@@ -55,7 +55,7 @@ _TABLE = {
     "RGCNU": ("rgcnu", "RGCNU", {"aux_weight": "__zero__"}),
     "STAGNN": ("stagnn", "STAGNN", {"supports_fused": True}),
     "DVGTformer": ("dvgtformer", "DVGTformer", {}),
-    "GRU_CM": ("gru_cm", "GRUCM", {"supports_fused": True}),
+    "GRU_CM": ("gru_cm", "GRUCM", {}),
     "STGNN": ("stgnn", "STGNN", {}),
     "SAGCN": ("sagcn", "SAGCN", {}),
     "STNet": ("stnet", "STNet", {"aux_weight": "__one__"}),

@@ -153,7 +153,11 @@ def restore_state(path: str, state, broadcast: bool = False):
             if isinstance(t.sharding, NamedSharding):
                 from ..parallel.multihost import put_global
                 return put_global(s, t.sharding.mesh, t.sharding)
-            return jax.device_put(s, t.sharding)
+            # Non-mesh template leaves (e.g. optax scalar step counts that
+            # tx.init creates fresh, not derived from params) must stay
+            # UNCOMMITTED: device_put would pin them to one device and make
+            # them incompatible with a global-mesh jit.
+            return jnp.asarray(s)
         return jnp.asarray(s, dtype=getattr(t, "dtype", None))
 
     def _like(template, saved):

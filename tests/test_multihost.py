@@ -36,7 +36,7 @@ def _free_port() -> int:
 
 
 def _launch_worker(pid, nproc, port, outdir, devices_per_proc=4,
-                   n_model=1):
+                   n_model=1, extra_args=()):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = (
@@ -45,9 +45,29 @@ def _launch_worker(pid, nproc, port, outdir, devices_per_proc=4,
     return subprocess.Popen(
         [sys.executable, "-m", "gnn_rul_tpu.parallel._dist_worker",
          "--pid", str(pid), "--nproc", str(nproc), "--port", str(port),
-         "--outdir", outdir, "--n_model", str(n_model)],
+         "--outdir", outdir, "--n_model", str(n_model), *extra_args],
         cwd=REPO, env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+
+
+def _run_pair(outdir, extra_args=()):
+    port = _free_port()
+    procs = [_launch_worker(pid, 2, port, outdir, extra_args=extra_args)
+             for pid in (0, 1)]
+    outputs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outputs.append(out)
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+    r0 = json.load(open(os.path.join(outdir, "result_p0.json")))
+    r1 = json.load(open(os.path.join(outdir, "result_p1.json")))
+    return r0, r1, outputs
 
 
 def test_two_process_training(tmp_path):
@@ -130,3 +150,30 @@ def test_two_process_training_with_model_axis(tmp_path):
     np.testing.assert_allclose(np.asarray(r0["best"]["None"]),
                                np.asarray(sp_results[0][None]),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_two_process_resume_broadcasts_from_host0(tmp_path):
+    """Resume in a multi-process job with a NON-shared filesystem: only
+    process 0's save_dir holds the periodic checkpoint (host-0-only
+    writes), so the restore must broadcast state AND start-epoch from
+    process 0 — a desync here hangs or diverges the job (r4 ADVICE
+    medium)."""
+    outdir = str(tmp_path)
+    # Phase A: 2 epochs with periodic checkpoints (host 0 only).
+    _run_pair(outdir, extra_args=("--epochs", "2"))
+    ckpt = os.path.join(outdir, "artifacts_p0", "dist", "run",
+                        "FC_STGNN_run_0", "checkpoint.pkl")
+    assert os.path.exists(ckpt)
+    assert not os.path.exists(os.path.join(outdir, "artifacts_p1"))
+
+    # Phase B: fresh 2-process job resumes to 4 epochs. Process 1 has no
+    # checkpoint file at all — it must receive state+epoch by broadcast.
+    r0, r1, outputs = _run_pair(outdir,
+                                extra_args=("--epochs", "4", "--resume"))
+    b0 = np.asarray(r0["best"]["None"])
+    b1 = np.asarray(r1["best"]["None"])
+    np.testing.assert_allclose(b0, b1, rtol=1e-6)
+    log = open(os.path.join(outdir, "artifacts_p0", "dist", "run",
+                            "FC_STGNN_run_0", "logs_run_0.log")).read()
+    assert "Resumed from epoch 2" in log

@@ -31,6 +31,7 @@ def _spec_model(method="FC_STGNN", dataset="CMAPSS", sub="FD001"):
     return spec, spec.model_cls(**hp)
 
 
+@pytest.mark.slow
 def test_vectorized_matches_sequential_per_seed():
     spec, model = _spec_model()
     x, y = _data()
@@ -99,6 +100,7 @@ def test_slice_state_round_trip():
     assert s1.step.ndim == 0
 
 
+@pytest.mark.slow
 def test_trainer_vectorized_end_to_end(tmp_path):
     """Trainer(vectorized_runs=True) writes the same artifact tree as the
     sequential path and produces per-seed results close to it."""
