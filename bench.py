@@ -79,8 +79,12 @@ def main():
                     help="don't append this run to BENCH_HISTORY.jsonl")
     ap.add_argument("--check", action="store_true",
                     help="exit 1 if >5%% below the best recorded value")
-    ap.add_argument("--repeats", type=int, default=3,
-                    help="timed blocks; best-of-N defeats capture noise")
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed blocks; best-of-N defeats capture noise "
+                         "(measured r5: cross-invocation variance through "
+                         "the axon tunnel is 293k-322k with tight per-run "
+                         "spread, so more in-process blocks is the only "
+                         "lever a single driver capture has)")
     args = ap.parse_args()
 
     import jax
