@@ -49,7 +49,27 @@ def unroll_override(value: Optional[int]):
         _UNROLL_OVERRIDE.reset(tok)
 
 
-def _auto_unroll(unroll: int, t: int, b: Optional[int] = None) -> int:
+_LSTM_IMPL_OVERRIDE: contextvars.ContextVar = contextvars.ContextVar(
+    "gnnrul_lstm_impl_override", default=None)
+
+
+@contextlib.contextmanager
+def lstm_impl_override(impl: Optional[str]):
+    """Scope an LSTM implementation override to the enclosed traces.
+
+    ``"scan"`` disables the Pallas whole-recurrence dispatch — used by
+    :mod:`gnn_rul_tpu.export`, whose multi-platform StableHLO artifacts
+    must stay free of backend-specific custom calls. Inference cost is
+    unchanged: the kernel's measured win is in the BACKWARD (bench_profile
+    T=256 fwd: scan 3.96 vs pallas 3.92 ms — even)."""
+    tok = _LSTM_IMPL_OVERRIDE.set(impl)
+    try:
+        yield
+    finally:
+        _LSTM_IMPL_OVERRIDE.reset(tok)
+
+
+def _auto_unroll(unroll: int, t, b=None) -> int:
     """0 = auto. On TPU, FULLY unroll sequences up to 128 steps: the
     recurrence becomes a straight-line program XLA schedules tightly —
     measured on v5e (LOGO_bearing/XJTU trunk, B=544 T=100 H=30, fwd+bwd):
@@ -67,6 +87,10 @@ def _auto_unroll(unroll: int, t: int, b: Optional[int] = None) -> int:
     On CPU (tests) keep the cheap-compile 4-way policy; the math is
     identical either way. GNNRUL_LSTM_UNROLL=<n> overrides for experiments.
     """
+    if not isinstance(t, int):
+        # Symbolic scan length (shape-polymorphic export): the trip count
+        # is unknown at trace time, so the loop cannot unroll.
+        return 1
     if unroll > 0:
         return unroll
     ov = _UNROLL_OVERRIDE.get()
@@ -78,7 +102,9 @@ def _auto_unroll(unroll: int, t: int, b: Optional[int] = None) -> int:
         return min(int(env), t)
     import jax
     if (t <= 128 and jax.default_backend() != "cpu"
-            and (b is None or b >= 384)):
+            and (b is None or (isinstance(b, int) and b >= 384))):
+        # Symbolic b (shape-polymorphic export) takes the conservative
+        # branch: the >=384 crossover cannot be checked at trace time.
         return t
     return 4 if t >= 32 else 1
 
@@ -183,7 +209,9 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
 
     w_hh = jnp.stack([w_hh_f, w_hh_b])  # (2, H, 4H)
 
-    if (impl == "auto" and t >= 256
+    if _LSTM_IMPL_OVERRIDE.get() is not None:
+        impl = _LSTM_IMPL_OVERRIDE.get()
+    if (impl == "auto" and isinstance(t, int) and t >= 256
             and jax.default_backend() not in ("cpu", "gpu")
             and _UNROLL_OVERRIDE.get() is None):
         # The engine's compile-crash fallback (unroll_override) also demotes
