@@ -1,6 +1,6 @@
 # Developer entry points. The test split is documented in pytest.ini.
 
-.PHONY: test test-all native bench bench-check dryrun accuracy bench-scaling
+.PHONY: test test-all native bench bench-check dryrun accuracy bench-scaling bench-serve
 
 test:        ## fast suite (~10 min on this container's 2 CPUs)
 	python -m pytest -m "not slow" -q
@@ -29,3 +29,6 @@ accuracy:    ## full 10-row accuracy matrix, both frameworks, 5 seeds x 81 epoch
 
 bench-scaling: ## DP weak-scaling curve (virtual CPU mesh here; same command on real multi-chip)
 	python bench_scaling.py
+
+bench-serve: ## inference/serving throughput (jit steady-state + exported artifact)
+	python bench_serve.py

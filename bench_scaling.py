@@ -133,14 +133,24 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="1,2,4,8",
                     help="comma-separated data-axis sizes")
-    ap.add_argument("--steps", type=int, default=30)
-    ap.add_argument("--per_device_batch", type=int, default=100)
+    ap.add_argument("--steps", type=int, default=None,
+                    help="timed steps per block (default 30; 10 in "
+                         "virtual-CPU trend mode)")
+    ap.add_argument("--per_device_batch", type=int, default=None,
+                    help="per-device batch (default 100, the reference "
+                         "batch; 25 in virtual-CPU trend mode)")
     args = ap.parse_args(argv)
 
     sizes = [int(s) for s in args.sizes.split(",")]
     _ensure_devices(max(sizes))
     import jax
     backend = jax.default_backend()
+    # Chip-sized defaults starve a 2-CPU container (the virtual mesh only
+    # checks mechanics/trend, not absolute numbers) — lighten them there.
+    if args.steps is None:
+        args.steps = 10 if backend == "cpu" else 30
+    if args.per_device_batch is None:
+        args.per_device_batch = 25 if backend == "cpu" else 100
 
     rows = []
     base_per_device = None

@@ -65,6 +65,21 @@ def test_bench_scaling_schema():
     assert final and final[0]["target"] == 0.8
 
 
+@pytest.mark.slow
+def test_bench_serve_schema():
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench_serve.py"),
+         "--batches", "4", "--steps", "3"],
+        capture_output=True, text=True, timeout=900, env=_env_cpu(1),
+        cwd=REPO)
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    rows = [json.loads(l) for l in out.stdout.splitlines()
+            if l.startswith("{")]
+    by_metric = {r["metric"]: r for r in rows}
+    assert by_metric["serve_fc_stgnn_fd001_jit"]["value"] > 0
+    assert by_metric["serve_fc_stgnn_fd001_artifact"]["value"] > 0
+
+
 def test_bf16_guidance_table():
     from gnn_rul_tpu.train.precision import bf16_guidance
     # Measured-losing tiers warn; winning tiers don't; unknown tiers don't.
