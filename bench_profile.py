@@ -48,8 +48,14 @@ def _timed(fn, *args, iters=50, repeats=3):
                 return t
             a0 = jax.tree_util.tree_map(perturb, a[0])
             out = fn(a0, *a[1:])
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return c + jnp.sum(leaf.astype(jnp.float32)), None
+            # Consume EVERY output leaf: feeding only one into the carry
+            # lets XLA dead-code-eliminate the rest (measured: GAT_LSTM
+            # grad-only "fwd+bwd" at 0.56 ms vs 0.79 ms forward — chunks
+            # of the forward not needed by the surviving grads were DCE'd).
+            tot = jnp.zeros(())
+            for leaf in jax.tree_util.tree_leaves(out):
+                tot = tot + jnp.sum(leaf.astype(jnp.float32))
+            return c + tot, None
 
         tot, _ = jax.lax.scan(body, jnp.zeros(()), None, length=iters)
         return tot
@@ -87,7 +93,9 @@ def profile_dvgt(batch=100):
 
     # Forward + backward (the training surface).
     def fwd_bwd(v, xx):
-        return jax.grad(lambda p: jnp.sum(model.apply(
+        # value_and_grad, both consumed: the training surface needs the
+        # loss value too (the engine's scan carries it).
+        return jax.value_and_grad(lambda p: jnp.sum(model.apply(
             {**v, "params": p}, xx, train=False)))(v["params"])
     rows["full_fwd_bwd_ms"] = _timed(fwd_bwd, dict(variables), x)
 
@@ -144,7 +152,9 @@ def profile_gat(batch=100):
         lambda v, xx: model.apply(v, xx, train=False), variables, x)
 
     def fwd_bwd(v, xx):
-        return jax.grad(lambda p: jnp.sum(model.apply(
+        # value_and_grad, both consumed: the training surface needs the
+        # loss value too (the engine's scan carries it).
+        return jax.value_and_grad(lambda p: jnp.sum(model.apply(
             {**v, "params": p}, xx, train=False)))(v["params"])
     rows["full_fwd_bwd_ms"] = _timed(fwd_bwd, dict(variables), x)
 

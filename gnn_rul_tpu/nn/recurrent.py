@@ -60,8 +60,9 @@ def lstm_impl_override(impl: Optional[str]):
     ``"scan"`` disables the Pallas whole-recurrence dispatch — used by
     :mod:`gnn_rul_tpu.export`, whose multi-platform StableHLO artifacts
     must stay free of backend-specific custom calls. Inference cost is
-    unchanged: the kernel's measured win is in the BACKWARD (bench_profile
-    T=256 fwd: scan 3.96 vs pallas 3.92 ms — even)."""
+    unchanged: the kernel's measured win is in the BACKWARD; forward-only
+    the scan is even-to-ahead (bench_profile, corrected harness, T=256
+    fwd: scan 3.08 vs pallas 3.99 ms)."""
     tok = _LSTM_IMPL_OVERRIDE.set(impl)
     try:
         yield
@@ -187,10 +188,12 @@ def bilstm_fused(x, params_fwd, params_bwd, unroll: int = 0,
     Pallas whole-recurrence kernel (bit-exact). "auto" = measured
     dispatch: the kernel WINS training at long T where full unroll stops
     being compilable and the scan pays loop overhead — fwd+bwd on v5e
-    (bench_profile --target lstm, H=30): T=256 3.67 vs 4.91 ms (1.34x),
-    T=512 3.99 vs 6.12 (1.53x), T=1024 5.46 vs 6.65 (1.22x) — so "auto"
-    takes the kernel on TPU at T >= 256 and the scan below (every
-    reference config has T <= 100 and keeps the scan).
+    (bench_profile --target lstm, H=30, corrected all-leaves-live
+    harness): T=256 3.31 vs 4.65 ms (1.41x), T=512 3.76 vs 5.52 (1.47x),
+    T=1024 4.96 vs 7.40 (1.49x) — so "auto" takes the kernel on TPU at
+    T >= 256 and the scan below (every reference config has T <= 100 and
+    keeps the scan). Forward-only the scan stays even-to-ahead, so
+    inference export pins "scan" (lstm_impl_override).
 
     x: (B, T, D). Returns (ys_fwd, ys_bwd) each (B, T, H), plus
     ((hf, cf), (hb, cb)) final states — identical contract on every impl
