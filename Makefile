@@ -5,7 +5,7 @@
 test:        ## fast suite (~10 min on this container's 2 CPUs)
 	python -m pytest -m "not slow" -q
 
-test-all:    ## full suite incl. torch-oracle parity + goldens (~30 min)
+test-all:    ## full suite incl. torch-oracle parity + goldens (~40 min)
 	python -m pytest tests/ -q
 
 native:      ## build the C++ data runtime

@@ -69,6 +69,41 @@ def test_vectorized_matches_sequential_per_seed():
             err_msg=f"eval predictions diverged for seed {seed}")
 
 
+@pytest.mark.slow
+def test_vectorized_matches_sequential_aux_loss_method():
+    """Generality beyond the flagship: a method with a train-time auxiliary
+    loss (LOGO's GL loss, weight ``theta`` — reference
+    algorithms/algorithms.py LOGO class) runs through the vmapped seed
+    runner with per-seed results matching the sequential Engine."""
+    spec, model = _spec_model("LOGO", "CMAPSS", "FD001")
+    assert spec.aux_weight == "theta"
+    tp = dict(TP, theta=0.01, batch_size=8)
+    x, y = _data(n=20)
+    xt, _ = _data(n=8, seed=9)
+    seeds = [0, 1]
+
+    seq_losses, seq_preds = [], []
+    for seed in seeds:
+        eng = Engine(model, spec, tp, seed=seed)
+        st = eng.init_state(x)
+        st, loss = eng.run_epoch(st, x, y, 1, shuffle=True)
+        seq_losses.append(loss)
+        seq_preds.append(eng.evaluate(st, xt))
+
+    veng = VectorizedEngine(model, spec, tp, seeds=seeds)
+    vst = veng.init_state(x)
+    vst, vloss = veng.run_epoch(vst, x, y, 1, shuffle=True)
+    v_preds = veng.evaluate(vst, xt)
+
+    for i, seed in enumerate(seeds):
+        np.testing.assert_allclose(vloss[i], seq_losses[i],
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"aux-loss epoch seed {seed}")
+        np.testing.assert_allclose(v_preds[i], seq_preds[i],
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"aux-loss eval seed {seed}")
+
+
 def test_vectorized_init_matches_sequential_init():
     """Per-seed parameter init streams are identical (not merely close:
     the same PRNGKey(seed) fold-ins)."""
