@@ -107,7 +107,15 @@ def _auto_unroll(unroll: int, t, b=None) -> int:
         # Symbolic b (shape-polymorphic export) takes the conservative
         # branch: the >=384 crossover cannot be checked at trace time.
         return t
-    return 4 if t >= 32 else 1
+    # Never emit a rolled unroll=1 scan: XLA (CPU and TPU alike) was
+    # observed to miscompile the TRANSPOSE of a vmapped rolled scan at
+    # unroll=1 inside the LOGO_bearing trunk (seed-parallel runner, T=20:
+    # jitted grad of bi_lstm2_bwd/w_ih came out inf while the un-jitted
+    # vmapped grad and every per-seed jitted grad of the same jaxpr are
+    # finite and ~1e-4). unroll>=4 restructures the loop body enough to
+    # dodge it, and was separately measured to match-or-beat unroll=1
+    # throughput at every tier. min(4, t) keeps short recurrences exact.
+    return 4 if t >= 32 else min(4, t)
 
 
 class LSTMLayer(nn.Module):

@@ -44,3 +44,36 @@ def bf16_guidance(method: str, dataset: str) -> Optional[str]:
             f"is latency-bound, not HBM-bound, and bf16 relayouts cost more "
             f"than they save. Consider fp32 here.")
     return None
+
+
+# (method, dataset) -> measured 5-seed wall-clock ratio of the vmapped
+# seed-parallel runner vs sequential runs (v5e, bench_zoo --vectorized 5,
+# BASELINE.md seed-parallel table, r5 quiet-chip back-to-back A/Bs). The
+# gain tracks the INVERSE of single-seed MFU: launch-latency-bound tiers
+# gain 2-4.5x; tiers whose MXU or HBM recurrence traffic is already the
+# binding resource gain little or lose.
+VECTORIZED_MEASURED_GAIN = {
+    ("ST_GCN", "PHM2012"): 3.41,
+    ("STGNN", "CMAPSS"): 4.46,
+    ("FC_STGNN", "CMAPSS"): 2.28,
+    ("GAT_LSTM", "PHM2012"): 2.05,
+    ("HierCorrPool", "CMAPSS"): 1.66,
+    ("GRU_CM", "NCMAPSS"): 1.57,
+    ("HierCorrPool_bearing", "PHM2012"): 1.48,
+    ("DVGTformer", "NCMAPSS"): 0.77,
+    ("LOGO_bearing", "PHM2012"): 0.60,
+}
+
+
+def vectorized_guidance(method: str, dataset: str) -> Optional[str]:
+    """A warning string when the seed-parallel runner is measured to LOSE
+    vs sequential runs on this tier (None = measured win / not measured)."""
+    gain = VECTORIZED_MEASURED_GAIN.get((method, dataset))
+    if gain is not None and gain < 1.0:
+        return (
+            f"--vectorized_runs is measured {gain:.2f}x the SEQUENTIAL "
+            f"5-seed wall-clock on {method}/{dataset} (v5e, BASELINE.md "
+            f"seed-parallel table) — this tier's binding resource (MXU "
+            f"panels / recurrence HBM traffic) multiplies with the seed "
+            f"axis. Sequential runs are faster here.")
+    return None

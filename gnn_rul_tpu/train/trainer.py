@@ -157,6 +157,11 @@ class Trainer:
             msg = bf16_guidance(method, dataset)
             if msg and self.is_main:
                 logging.getLogger(__name__).warning(msg)
+        if vectorized_runs:
+            from .precision import vectorized_guidance
+            msg = vectorized_guidance(method, dataset)
+            if msg and self.is_main:
+                logging.getLogger(__name__).warning(msg)
 
         self.exp_log_dir = os.path.join(save_dir, experiment_description,
                                         run_description)

@@ -90,6 +90,41 @@ def test_bf16_guidance_table():
     assert bf16_guidance("NoSuch", "CMAPSS") is None
 
 
+def test_vectorized_guidance_table():
+    from gnn_rul_tpu.train.precision import vectorized_guidance
+    # Seed-parallel measured to LOSE on the MXU-/recurrence-bound tiers.
+    assert "0.77x" in vectorized_guidance("DVGTformer", "NCMAPSS")
+    assert "0.60x" in vectorized_guidance("LOGO_bearing", "PHM2012")
+    # Winning tiers and unmeasured tiers warn nothing.
+    assert vectorized_guidance("ST_GCN", "PHM2012") is None
+    assert vectorized_guidance("FC_STGNN", "CMAPSS") is None
+    assert vectorized_guidance("NoSuch", "CMAPSS") is None
+
+
+def test_trainer_warns_on_measured_vectorized_loss(tmp_path, caplog):
+    import logging
+    from gnn_rul_tpu.data.loader import DataBundle
+    from gnn_rul_tpu.train.trainer import Trainer
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(8, 14, 50)).astype(np.float32)
+    y = rng.uniform(size=(8, 1)).astype(np.float32)
+    data = DataBundle(train_x=x, train_y=y, test=(x[:2], y[:2]),
+                      max_ruls=125)
+    tp = {"num_epochs": 1, "batch_size": 4, "learning_rate": 1e-3,
+          "weight_decay": 0.0}
+    with caplog.at_level(logging.WARNING):
+        Trainer(method="DVGTformer", dataset="NCMAPSS", dataset_id=None,
+                data=data, save_dir=str(tmp_path), train_params=tp,
+                vectorized_runs=True)
+    assert any("0.77x" in r.message for r in caplog.records)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING):
+        Trainer(method="DVGTformer", dataset="NCMAPSS", dataset_id=None,
+                data=data, save_dir=str(tmp_path), train_params=tp)
+    assert not any("0.77x" in r.message for r in caplog.records)
+
+
 def test_trainer_warns_on_measured_bf16_loss(tmp_path, caplog):
     import logging
     from gnn_rul_tpu.data.loader import DataBundle

@@ -99,3 +99,19 @@ def test_gru_unroll_invariance(unroll):
         {"params": params}, x)
     np.testing.assert_allclose(got, base, atol=1e-6)
     np.testing.assert_allclose(got_h, base_h, atol=1e-6)
+
+
+def test_auto_unroll_never_emits_rolled_unroll_1():
+    """Policy regression: a rolled scan at unroll=1 was observed to
+    miscompile (inf grads) under vmap on both CPU and TPU backends
+    (see nn/recurrent._auto_unroll and
+    tests/test_vectorized.py::test_vectorized_logo_bearing_grads_finite).
+    The auto policy must return either the full trip count (t) or an
+    unroll >= 2 for every t > 1."""
+    from gnn_rul_tpu.nn.recurrent import _auto_unroll
+    for t in [2, 3, 4, 5, 8, 16, 20, 31, 32, 64, 100, 128, 200, 1000]:
+        for b in [None, 16, 100, 384, 544]:
+            u = _auto_unroll(0, t, b)
+            assert u == t or u >= 2, (t, b, u)
+    # t == 1 trivially fully unrolls.
+    assert _auto_unroll(0, 1) == 1

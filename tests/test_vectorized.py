@@ -169,6 +169,52 @@ def test_trainer_vectorized_end_to_end(tmp_path):
         np.testing.assert_allclose(b_vec, b_seq, rtol=5e-3)
 
 
+@pytest.mark.slow
+def test_vectorized_logo_bearing_grads_finite(tmp_path):
+    """Regression: XLA miscompiled the transpose of the vmapped rolled
+    scan at unroll=1 in the LOGO_bearing trunk — the jitted seed-parallel
+    epoch produced inf in bi_lstm2_bwd/w_ih for one seed while the
+    un-jitted vmapped grad and every per-seed jitted grad of the same
+    jaxpr were finite (~1e-4). Triggered by real preprocessor-shaped data
+    (a synthetic raw PHM2012 tree through the offline pipeline), not by
+    plain random arrays; `_auto_unroll` now never emits a rolled unroll=1
+    scan (nn/recurrent.py). This test replays the failing configuration
+    end-to-end and asserts finite state and predictions per seed."""
+    rng = np.random.default_rng(0)
+    base = tmp_path / "Datasets" / "PHM_2012_Bearing_Datasets"
+    for split, names in [("Learning_set", ["Bearing1_1", "Bearing1_2"]),
+                         ("Test_set", ["Bearing1_3"])]:
+        for name in names:
+            d = base / split / name
+            d.mkdir(parents=True)
+            for i in range(1, 9):
+                mat = rng.normal(size=(2560, 6)).astype(np.float32)
+                np.savetxt(d / f"acc_{i:05d}.csv", mat, fmt="%.5f",
+                           delimiter=",")
+
+    from gnn_rul_tpu.data.phm2012 import preprocess_phm2012
+    from gnn_rul_tpu.data.loader import load_dataset
+    out = preprocess_phm2012(str(tmp_path / "Datasets"), 1,
+                             out_dir=str(tmp_path / "Processed"))
+    data = load_dataset(os.path.join(str(tmp_path / "Processed"),
+                                     "PHM2012", "Condition_1"))
+
+    spec, model = _spec_model("LOGO_bearing", "PHM2012", "Condition_1")
+    tp = {"num_epochs": 1, "batch_size": 100, "learning_rate": 1e-3,
+          "weight_decay": 1e-4, "theta": 0.001}
+    veng = VectorizedEngine(model, spec, tp, seeds=[0, 1])
+    vst = veng.init_state(data.train_x)
+    vst, vloss = veng.run_epoch(vst, data.train_x, data.train_y, 1,
+                                shuffle=True)
+    assert np.isfinite(np.asarray(vloss)).all(), np.asarray(vloss)
+    import jax
+    for leaf in jax.tree_util.tree_leaves(vst.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    xt = next(iter(data.test.values()))[0]
+    preds = np.asarray(veng.evaluate(vst, xt))
+    assert np.isfinite(preds).all()
+
+
 def test_trainer_vectorized_rejects_mesh_and_resume(tmp_path):
     from gnn_rul_tpu.data.loader import DataBundle
     from gnn_rul_tpu.train.trainer import Trainer
